@@ -1,0 +1,207 @@
+"""Configuration for HMMC-TPU.
+
+Two-level config mirroring the reference's user surface:
+
+- :class:`CrossConfig` — model architecture + loss weights. Field names and
+  defaults match ``modules/cross-base/cross_config.json`` in the reference
+  (loaded there by ``modules/until_config.py:40-99``), so existing configs
+  load unchanged via :meth:`CrossConfig.from_json`.
+- :class:`TaskConfig` — run/task/data/optim flags. Field names match the
+  argparse surface of the reference (``main_task_retrieval.py:33-97`` and the
+  pretrain extras at ``main_pretrain.py:61-63``).
+
+Unlike the reference (which threads a mutable argparse Namespace through the
+model), both classes are frozen dataclasses; anything derived is computed up
+front.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+_ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossConfig:
+    """Architecture + loss-weight config (reference: cross_config.json)."""
+
+    # temporal transformer over the frame axis
+    max_position_embeddings: int = 48
+    temporal_hidden_size: int = 512
+    temporal_attention_heads: int = 8
+    temporal_hidden_layers: int = 4
+    # chinese text tower projection input width (roberta-base hidden)
+    chinese_hidden_size: int = 768
+    # MLM
+    mlm_probability: float = 0.15
+    # projector / predictor MLPs (MoCo pretrain heads)
+    proj_num_layers: int = 2
+    pred_num_layers: int = 2
+    # pretrain loss weights (modeling.py:424)
+    weight_FAM: float = 0.05
+    weight_VTM: float = 0.45
+    weight_FTM: float = 0.45
+    weight_MLM: float = 0.05
+    # finetune loss weights (modeling.py:703-709)
+    weight_VTM_finetune: float = 0.85
+    weight_FTM_finetune: float = 0.15
+    # CLIP backbone selection
+    pretrained_clip_name: str = "ViT-B/32"
+    # kept for config-file compat; unused (legacy co-attention model)
+    co_attention_layers: int = 4
+
+    @classmethod
+    def from_json(cls, path: str) -> "CrossConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+
+# Shapes of the supported CLIP vision/text towers, keyed the same way as the
+# reference's pretrained_clip_name (module_clip.py:20-29). Derived in the
+# reference from checkpoint tensor shapes (module_clip.py:530-579); here they
+# are explicit so a model can be built without a checkpoint.
+CLIP_ARCH = {
+    "ViT-B/32": dict(
+        embed_dim=512, image_resolution=224, vision_layers=12, vision_width=768,
+        vision_patch_size=32, context_length=77, vocab_size=49408,
+        transformer_width=512, transformer_heads=8, transformer_layers=12,
+    ),
+    "ViT-B/16": dict(
+        embed_dim=512, image_resolution=224, vision_layers=12, vision_width=768,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=512, transformer_heads=8, transformer_layers=12,
+    ),
+    "ViT-L/14": dict(
+        embed_dim=768, image_resolution=224, vision_layers=24, vision_width=1024,
+        vision_patch_size=14, context_length=77, vocab_size=49408,
+        transformer_width=768, transformer_heads=12, transformer_layers=12,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipArch:
+    embed_dim: int
+    image_resolution: int
+    vision_layers: int
+    vision_width: int
+    vision_patch_size: int
+    context_length: int
+    vocab_size: int
+    transformer_width: int
+    transformer_heads: int
+    transformer_layers: int
+    linear_patch: str = "2d"  # '2d' | '3d' (module_clip.py:291-295)
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @classmethod
+    def by_name(cls, name: str, linear_patch: str = "2d") -> "ClipArch":
+        if name not in CLIP_ARCH:
+            raise ValueError(f"unknown CLIP arch {name!r}; known: {list(CLIP_ARCH)}")
+        return cls(linear_patch=linear_patch, **CLIP_ARCH[name])
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Run-level flags (reference: main_task_retrieval.py:33-97)."""
+
+    # mode
+    do_pretrain: bool = False
+    do_train: bool = False
+    do_eval: bool = False
+    do_params: bool = False
+    task: str = "retrieval"          # retrieval | retrieval_VT
+    dataset: str = "msrvtt"          # bird | msrvtt | vatex
+    language: str = "english"        # english | chinese
+    # model knobs
+    use_temp: bool = True
+    use_frame_fea: bool = True
+    top_frames: int = 3
+    cross_model: str = "cross-base"
+    init_model: Optional[str] = None
+    pretrained_text: str = "hfl/chinese-roberta-wwm-ext"
+    # data
+    data_dir: Optional[str] = None
+    num_thread_reader: int = 1
+    max_words: int = 32
+    max_frames: int = 12
+    frame_sample: str = "uniform"    # uniform | random | uniform_random
+    frame_sample_len: str = "fix"    # fix | dynamic
+    # optimization
+    lr: float = 1e-4
+    text_lr: float = 1e-5
+    coef_lr: float = 1.0
+    weight_decay: float = 0.2
+    warmup_proportion: float = 0.1
+    epochs: int = 20
+    batch_size: int = 256
+    batch_size_val: int = 3500
+    gradient_accumulation_steps: int = 1
+    # pretrain contrast engine (main_pretrain.py:61-63)
+    contrast_num_negative: int = 1024
+    contrast_momentum: float = 0.99
+    contrast_temperature: float = 0.07
+    # misc
+    seed: int = 42
+    n_display: int = 100
+    output_dir: Optional[str] = None
+    logdir: Optional[str] = None
+    # precision: bf16 on TPU replaces the reference's fp16 AMP (--enable_amp)
+    compute_dtype: str = "bfloat16"
+    # device mesh: number of data-parallel shards (0 = all local devices)
+    dp_size: int = 0
+    # use Pallas fused attention where profitable (falls back to XLA attn)
+    use_pallas_attention: bool = False
+
+    def validate(self) -> None:
+        if self.gradient_accumulation_steps < 1:
+            raise ValueError("gradient_accumulation_steps must be >= 1")
+        if not (self.do_train or self.do_eval or self.do_params or self.do_pretrain):
+            raise ValueError(
+                "At least one of do_pretrain/do_train/do_eval/do_params must be set")
+        if self.task not in ("retrieval", "retrieval_VT"):
+            raise ValueError(f"unknown task {self.task!r}")
+        if self.language not in ("english", "chinese"):
+            raise ValueError(f"unknown language {self.language!r}")
+        if self.frame_sample not in ("uniform", "random", "uniform_random"):
+            raise ValueError(f"unknown frame_sample {self.frame_sample!r}")
+        if self.frame_sample_len not in ("fix", "dynamic"):
+            raise ValueError(f"unknown frame_sample_len {self.frame_sample_len!r}")
+
+    @property
+    def micro_batch_size(self) -> int:
+        # reference divides the flag batch by accumulation steps up front
+        # (main_task_retrieval.py:95)
+        return self.batch_size // self.gradient_accumulation_steps
+
+    def replace(self, **kw) -> "TaskConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_cross_config(name_or_path: str = "cross-base") -> CrossConfig:
+    """Resolve a cross-model config by name (assets/<name>.json) or path."""
+    if os.path.isfile(name_or_path):
+        return CrossConfig.from_json(name_or_path)
+    bundled = os.path.join(_ASSET_DIR, f"{name_or_path}.json")
+    if os.path.isfile(bundled):
+        return CrossConfig.from_json(bundled)
+    if name_or_path == "cross-base":
+        return CrossConfig()  # defaults ARE cross-base
+    raise FileNotFoundError(f"cross config {name_or_path!r} not found")

@@ -1,0 +1,194 @@
+"""Shared transformer building blocks (flax.linen).
+
+Design notes (TPU-first, not a torch translation):
+
+- batch-first [B, L, D] layout everywhere — no NLD<->LND permutes
+  (the reference permutes for torch's nn.MultiheadAttention,
+  module_clip.py:314-317; XLA has no such constraint);
+- parameters live in fp32 (`param_dtype`), activations in a configurable
+  compute dtype (bf16 on TPU) — replacing the reference's fp16 weight
+  conversion (module_clip.py:506-527);
+- LayerNorm always computes statistics in fp32 and casts back, matching the
+  fp16-safe LayerNorm subclass of the reference (module_clip.py:217-223);
+- transformer layers are stacked with `nn.scan` so XLA compiles ONE layer
+  body regardless of depth (faster compiles, natural remat point). Layer
+  parameters get a leading [layers] axis; the checkpoint importer stacks
+  per-layer torch tensors accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hmmc_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """QuickGELU: x * sigmoid(1.702 x) (module_cross.py:110-112)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact erf GELU (until_module.py:29-34), used by the MLM head."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT2FN = {"gelu": gelu_erf, "relu": jax.nn.relu, "quick_gelu": quick_gelu,
+          "swish": jax.nn.silu}
+
+
+class LayerNorm(nn.Module):
+    """fp32-statistics LayerNorm returning the input dtype.
+
+    eps defaults to torch nn.LayerNorm's 1e-5 (CLIP towers); the MLM head
+    uses 1e-12 (module_cross.py:344-357).
+    """
+
+    eps: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+class Linear(nn.Module):
+    """Dense layer with an explicit [in, out] kernel (torch checkpoints store
+    [out, in]; the importer transposes)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class SelfAttention(nn.Module):
+    """Packed-qkv self-attention (parameter layout mirrors torch
+    nn.MultiheadAttention's in_proj/out_proj for checkpoint import)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = x.shape[-1]
+        std = d ** -0.5
+        in_proj_kernel = self.param(
+            "in_proj_kernel", nn.initializers.normal(std), (d, 3 * d),
+            self.param_dtype)
+        in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros, (3 * d,), self.param_dtype)
+        out_kernel = self.param(
+            "out_kernel", nn.initializers.normal(std), (d, d),
+            self.param_dtype)
+        out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (d,), self.param_dtype)
+        return multi_head_attention(
+            x.astype(self.dtype), in_proj_kernel, in_proj_bias, out_kernel,
+            out_bias, self.num_heads, mask, use_pallas=self.use_pallas)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block with a QuickGELU MLP
+    (module_clip.py:231-257)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d = x.shape[-1]
+        attn = SelfAttention(
+            self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas, name="attn")
+        ln_1 = LayerNorm(param_dtype=self.param_dtype, name="ln_1")
+        ln_2 = LayerNorm(param_dtype=self.param_dtype, name="ln_2")
+        c_fc = Linear(4 * d, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="c_fc")
+        c_proj = Linear(d, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="c_proj")
+        x = x + attn(ln_1(x), mask)
+        x = x + c_proj(quick_gelu(c_fc(ln_2(x))))
+        return x
+
+
+class _ScanBlock(nn.Module):
+    """scan body: carry = activations, broadcast input = mask."""
+
+    num_heads: int
+    dtype: Dtype
+    param_dtype: Dtype
+    use_pallas: bool
+
+    @nn.compact
+    def __call__(self, x, mask):
+        y = ResidualAttentionBlock(
+            self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas, name="block")(x, mask)
+        return y, None
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks via nn.scan (params get a leading
+    [layers] axis)."""
+
+    layers: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        body = _ScanBlock
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.layers,
+            in_axes=nn.broadcast,
+        )(self.num_heads, self.dtype, self.param_dtype, self.use_pallas,
+          name="resblocks")
+        x, _ = stack(x, mask)
+        return x

@@ -1,0 +1,87 @@
+"""Attention ops.
+
+The sequence lengths in this framework are tiny by LLM standards (32-77 text
+tokens, 50-197 ViT patches, 12-48 frames — see SURVEY §5), so the default
+path is a plain XLA dot-product attention: XLA fuses the softmax chain and
+keeps the matmuls on the MXU, and at these sizes a hand-rolled flash kernel
+has nothing to tile. A Pallas fused kernel is provided in
+:mod:`hmmc_tpu.ops.pallas_attention` for the long-frame/ViT-B16 stretch
+configs and is selected via ``TaskConfig.use_pallas_attention``.
+
+Semantics match ``torch.nn.MultiheadAttention`` as used by the reference
+(module_clip.py:231-257): scaled dot product, optional additive mask,
+softmax over keys. Softmax statistics are computed in fp32 regardless of the
+compute dtype (bf16-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """q,k,v: [B, H, L, Dh]; mask: additive, broadcastable to [B, H, L, L]."""
+    depth = q.shape[-1]
+    scale = depth ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jnp.exp(logits - lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True)))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    in_proj_kernel: jnp.ndarray,
+    in_proj_bias: jnp.ndarray,
+    out_kernel: jnp.ndarray,
+    out_bias: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Self-attention with a packed qkv projection.
+
+    x: [B, L, D]. in_proj_kernel: [D, 3D] ([in, out] layout; the torch
+    checkpoint's in_proj_weight [3D, D] is transposed on import).
+    mask: additive, broadcastable to [B, H, L, L].
+    """
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    qkv = jnp.einsum("bld,de->ble", x, in_proj_kernel.astype(x.dtype))
+    qkv = qkv + in_proj_bias.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    if use_pallas:
+        from hmmc_tpu.ops.pallas_attention import flash_attention
+
+        out = flash_attention(q, k, v, mask)
+    else:
+        out = dot_product_attention(q, k, v, mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = jnp.einsum("bld,de->ble", out, out_kernel.astype(x.dtype))
+    return out + out_bias.astype(x.dtype)
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask matching module_clip.py:441-447 (upper triangle
+    filled with a large negative)."""
+    mask = jnp.triu(jnp.full((length, length), -1e9, dtype=dtype), k=1)
+    return mask[None, None, :, :]
