@@ -4,13 +4,17 @@ collectives, and queue semantics are testable without a TPU pod
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402  (import after env setup)
+import jax  # noqa: E402
+
+# The environment may pre-register an accelerator plugin that force-selects
+# itself via jax.config (overriding JAX_PLATFORMS from the env), so the
+# override must happen in-process, before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
