@@ -1,0 +1,5 @@
+from hmmc_tpu.parallel.mesh import (
+    MeshSpec, batch_sharding, make_mesh, replicated, shard_batch)
+
+__all__ = ["MeshSpec", "make_mesh", "batch_sharding", "replicated",
+           "shard_batch"]

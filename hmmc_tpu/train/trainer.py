@@ -1,0 +1,310 @@
+"""Jitted train steps + train state (reference: train_epoch of
+main_task_retrieval.py:250-318 and BirdPreTrainedModel.forward,
+modeling.py:334-436).
+
+Everything that happens per step — query/key forwards, momentum EMA, the
+global-batch contrastive losses, queue enqueue, grad clip, BertAdam update —
+is ONE jitted computation over globally-sharded arrays. The batch axis is
+sharded over the mesh's ``data`` axis; parameters, optimizer state, and the
+MoCo queues are replicated. The B_global x B_global similarity matrices are
+sharded einsums (XLA inserts the all-gather over ICI), which subsumes the
+reference's explicit ``dist_collect`` calls (modeling.py:698-700, 249-259).
+
+Gradient accumulation (``--gradient_accumulation_steps``,
+main_task_retrieval.py:278-302) is a ``lax.scan`` over micro-batches inside
+the same jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from hmmc_tpu import losses
+from hmmc_tpu.config import CrossConfig, TaskConfig
+from hmmc_tpu.models.pretrain import (
+    BirdPretrainModel, MoCoQueues, MOMENTUM_SUBTREES, init_key_params,
+    mask_tokens, mlm_loss, momentum_update)
+from hmmc_tpu.models.retrieval import BirdModel
+
+
+# ---------------------------------------------------------------------------
+# states
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class FinetuneState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+@flax.struct.dataclass
+class PretrainState:
+    params: Any
+    params_k: Any            # momentum twins of MOMENTUM_SUBTREES
+    batch_stats: Any         # projector/predictor BN stats (query side)
+    batch_stats_k: Any       # key-side projector BN stats
+    opt_state: Any
+    queues: MoCoQueues
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables: Dict, tx: optax.GradientTransformation,
+               queues: MoCoQueues):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        return cls(
+            params=params,
+            params_k=init_key_params(params),
+            batch_stats=stats,
+            batch_stats_k=jax.tree_util.tree_map(
+                jnp.copy, {"v_projector": stats.get("v_projector", {})}),
+            opt_state=tx.init(params),
+            queues=queues,
+            step=jnp.zeros((), jnp.int32))
+
+
+def _split_microbatches(batch: Dict[str, jnp.ndarray], n: int) -> Dict:
+    return {k: v.reshape(n, v.shape[0] // n, *v.shape[1:])
+            for k, v in batch.items()}
+
+
+def _accumulate(loss_fn: Callable, params, batch: Dict, n_accum: int,
+                rng: Optional[jax.Array] = None) -> Tuple[Any, Dict]:
+    """Mean-of-grads over micro-batches via lax.scan (reference divides the
+    loss by accumulation steps, main_task_retrieval.py:278-280)."""
+    if n_accum == 1:
+        rngs = (rng,) if rng is not None else ()
+        return jax.grad(loss_fn, has_aux=True)(params, batch, *rngs)
+
+    micro = _split_microbatches(batch, n_accum)
+
+    def body(carry, xs):
+        if rng is not None:
+            mb, r = xs
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb, r)
+        else:
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, xs)
+        acc = jax.tree_util.tree_map(jnp.add, carry, grads)
+        return acc, aux
+
+    zero = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    xs = (micro, jax.random.split(rng, n_accum)) if rng is not None else micro
+    grads, auxes = jax.lax.scan(body, zero, xs)
+    grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+    aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+    return grads, aux
+
+
+# ---------------------------------------------------------------------------
+# fine-tune step (BirdModel)
+# ---------------------------------------------------------------------------
+
+def make_finetune_step(
+    model: BirdModel,
+    tx: optax.GradientTransformation,
+    cross_config: CrossConfig,
+    use_frame_fea: bool = True,
+    n_accum: int = 1,
+) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics). batch keys:
+    query_ids [B,L] int32, query_mask [B,L], video [B,F,H,W,3] float."""
+
+    w_vtm = cross_config.weight_VTM_finetune
+    w_ftm = cross_config.weight_FTM_finetune
+
+    def loss_fn(params, batch):
+        var = {"params": params}
+        q = model.apply(var, batch["query_ids"], batch["query_mask"],
+                        method="encode_text")
+        v, f = model.apply(var, batch["video"], method="encode_video")
+        scale = jnp.minimum(
+            jnp.exp(jax.lax.stop_gradient(
+                params["text_encoder"]["logit_scale"])), 100.0)
+        out = losses.finetune_retrieval_loss(
+            q, v, f if use_frame_fea else None, scale, w_vtm, w_ftm)
+        return out["loss"], out
+
+    def step(state: FinetuneState, batch: Dict) -> Tuple[FinetuneState, Dict]:
+        grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {k: v for k, v in aux.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# pretrain step (BirdPretrainModel + MoCo)
+# ---------------------------------------------------------------------------
+
+def make_pretrain_step(
+    model: BirdPretrainModel,
+    tx: optax.GradientTransformation,
+    cross_config: CrossConfig,
+    task: TaskConfig,
+    mask_token_id: int,
+    pad_token_id: int,
+    cls_token_id: int,
+    n_accum: int = 1,
+) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    batch keys: title_ids/title_mask [B,L]; tag_ids/tag_mask [B,L]
+    (dataset=="bird" only); video [B,F,H,W,3].
+
+    Step order matches modeling.py:334-436: query forwards; momentum EMA;
+    key forwards (stop-grad); FAM/VTM/FTM losses vs queues; enqueue; MLM.
+    """
+    if n_accum != 1:
+        # The MoCo step couples every micro-batch to its own key forwards
+        # and queue snapshot; the reference likewise steps its queue per
+        # forward. Pretrain therefore accumulates at the data level
+        # (smaller global batch), not inside the step.
+        raise NotImplementedError(
+            "gradient accumulation is not supported for the pretrain step; "
+            "reduce batch_size instead")
+    use_tag = task.dataset == "bird"
+    use_frame = task.use_frame_fea
+    temp = task.contrast_temperature
+    momentum = task.contrast_momentum
+    w = cross_config
+
+    def key_forwards(params_k, stats_k, batch):
+        """Momentum towers, mutable BN stats on the key projector."""
+        title_k = model.apply(
+            {"params": {"text_encoder": params_k["text_encoder"]}},
+            batch["title_ids"], batch["title_mask"], method="encode_text")
+        tag_k = title_k
+        if use_tag:
+            tag_k = model.apply(
+                {"params": {"text_encoder": params_k["text_encoder"]}},
+                batch["tag_ids"], batch["tag_mask"], method="encode_text")
+        v_k, frame_k = model.apply(
+            {"params": {"visual_encoder": params_k["visual_encoder"]}},
+            batch["video"], method="encode_video")
+        (frame_proj_k), new_stats = model.apply(
+            {"params": {"v_projector": params_k["v_projector"]},
+             "batch_stats": {"v_projector": stats_k["v_projector"]}},
+            frame_k, True, method="project_frames_key",
+            mutable=["batch_stats"])
+        keys = dict(title_k=title_k, tag_k=tag_k, v_k=v_k, frame_k=frame_k,
+                    frame_proj_k=frame_proj_k)
+        keys = jax.lax.stop_gradient(keys)
+        return keys, new_stats["batch_stats"]
+
+    def loss_fn(params, batch, rng, keys, queues, batch_stats):
+        var = {"params": params, "batch_stats": batch_stats}
+        # --- query forwards
+        v_fea, frame_fea = model.apply(
+            var, batch["video"], method="encode_video")
+        title_fea = model.apply(var, batch["title_ids"], batch["title_mask"],
+                                method="encode_text")
+        tag_fea = title_fea
+        if use_tag:
+            tag_fea = model.apply(var, batch["tag_ids"], batch["tag_mask"],
+                                  method="encode_text")
+        (frame_proj, frame_pred), mut = model.apply(
+            var, frame_fea, True, method="project_frames",
+            mutable=["batch_stats"])
+        del frame_proj  # only the prediction side enters FAM
+
+        # --- FAM: adjacent-frame momentum contrast (modeling.py:385)
+        loss_fam = losses.frame_self_loss(
+            frame_pred, keys["frame_proj_k"], queues.frame_proj, temp)
+
+        # --- VTM: video<->text vs queues (modeling.py:387-394)
+        v_title = (losses.moco_contrastive(
+                       v_fea, keys["title_k"], queues.title_cross, temp)
+                   + losses.moco_contrastive(
+                       title_fea, keys["v_k"], queues.v_cross, temp))
+        if use_tag:
+            v_tag = (losses.moco_contrastive(
+                         v_fea, keys["tag_k"], queues.tag_cross, temp)
+                     + losses.moco_contrastive(
+                         tag_fea, keys["v_k"], queues.v_cross, temp))
+            loss_vtm = (v_tag + v_title) / 2
+        else:
+            loss_vtm = v_title
+
+        # --- FTM: frame<->text vs queues (modeling.py:396-405)
+        loss_ftm = jnp.float32(0.0)
+        if use_frame:
+            f_title = losses.frame_cross_loss(
+                frame_fea, keys["frame_k"], queues.frame_cross,
+                title_fea, keys["title_k"], queues.title_cross, temp)
+            if use_tag:
+                f_tag = losses.frame_cross_loss(
+                    frame_fea, keys["frame_k"], queues.frame_cross,
+                    tag_fea, keys["tag_k"], queues.tag_cross, temp)
+                loss_ftm = (f_tag + f_title) / 2
+            else:
+                loss_ftm = f_title
+
+        # --- MLM (modeling.py:416-421)
+        r_title, r_tag = jax.random.split(rng)
+
+        def one_mlm(r, ids, mask):
+            masked_ids, labels = mask_tokens(
+                r, ids, model.vocab_size, mask_token_id, pad_token_id,
+                cls_token_id, cross_config.mlm_probability)
+            logits = model.apply(var, masked_ids, mask, method="mlm_logits")
+            return mlm_loss(logits, labels)
+
+        loss_mlm = one_mlm(r_title, batch["title_ids"], batch["title_mask"])
+        if use_tag:
+            loss_mlm = (loss_mlm + one_mlm(
+                r_tag, batch["tag_ids"], batch["tag_mask"])) / 2
+
+        loss = (w.weight_FAM * loss_fam + w.weight_VTM * loss_vtm
+                + w.weight_FTM * loss_ftm + w.weight_MLM * loss_mlm)
+        aux = {"loss": loss, "loss_FAM": loss_fam, "loss_VTM": loss_vtm,
+               "loss_FTM": loss_ftm, "loss_MLM": loss_mlm,
+               "batch_stats": mut["batch_stats"]}
+        return loss, aux
+
+    def step(state: PretrainState, batch: Dict, rng: jax.Array
+             ) -> Tuple[PretrainState, Dict]:
+        # momentum EMA BEFORE key forwards (modeling.py:368-372)
+        params_k = momentum_update(state.params, state.params_k, momentum)
+        keys, stats_k = key_forwards(params_k, state.batch_stats_k, batch)
+
+        def wrapped(params, b, r):
+            return loss_fn(params, b, r, keys, state.queues,
+                           state.batch_stats)
+
+        grads, aux = _accumulate(wrapped, state.params, batch, n_accum,
+                                 rng=rng)
+        batch_stats = aux.pop("batch_stats")
+
+        # enqueue global-batch keys (modeling.py:412)
+        queues = state.queues.enqueue(
+            keys["v_k"], keys["tag_k"], keys["title_k"], keys["frame_k"],
+            keys["frame_proj_k"])
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, params_k=params_k, batch_stats=batch_stats,
+            batch_stats_k=stats_k, opt_state=opt_state, queues=queues,
+            step=state.step + 1)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=0)

