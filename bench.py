@@ -1,0 +1,121 @@
+"""Train-throughput benchmark on the flagship fine-tune configuration.
+
+Measures clips/sec/chip for the full jitted training step (forward, global
+contrastive loss, backward, BertAdam update) of BirdModel with CLIP ViT-B/32
+towers at max_frames=12, 224x224 — the reference's headline MSR-VTT
+fine-tune setup (README.md:100-108).
+
+Baseline: the reference reports 5 epochs over the unrolled MSR-VTT-9k train
+sentences (~180k clips) with global batch 256 in ~1 hour on 8x V100
+(README.md:54) => ~250 clips/sec => 31.25 clips/sec per V100.
+``vs_baseline`` = measured clips/sec/chip / 31.25.
+
+Timing notes: on remote-attached TPUs, ``block_until_ready`` can return at
+enqueue time, so the timed region chains N dependent steps and ends with a
+scalar host fetch (the loss), which forces completion of the whole chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 250.0 / 8.0   # 8x V100, README.md:54
+
+
+def build(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.config import ClipArch, CrossConfig
+    from hmmc_tpu.models.retrieval import BirdModel
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
+
+    arch = ClipArch.by_name("ViT-B/32")
+    cross = CrossConfig()
+    model = BirdModel(arch, cross, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    f, l = 12, 32
+
+    # init with a tiny batch — params are batch-shape independent and the
+    # init program is a separate (expensive) compile
+    init_batch = {
+        "query_ids": jnp.asarray(rng.integers(1, 49000, size=(2, l)),
+                                 jnp.int32),
+        "query_mask": jnp.ones((2, l), jnp.int32),
+        "video": jnp.zeros((2, f, 224, 224, 3), jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), init_batch["query_ids"],
+                        init_batch["query_mask"], init_batch["video"]
+                        )["params"]
+
+    b = batch_size
+    batch = {
+        "query_ids": jnp.asarray(
+            rng.integers(1, 49000, size=(b, l)), jnp.int32),
+        "query_mask": jnp.ones((b, l), jnp.int32),
+        "video": jnp.asarray(
+            rng.normal(size=(b, f, 224, 224, 3)).astype(np.float32)),
+    }
+    tx = build_optimizer(params, lr=1e-4, text_lr=1e-5, coef_lr=1e-3,
+                         weight_decay=0.2, warmup_proportion=0.1,
+                         t_total=3600)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, cross, use_frame_fea=True)
+    return step, state, batch
+
+
+def run(batch_size: int, warmup: int = 2, iters: int = 20) -> float:
+    step, state, batch = build(batch_size)
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # force completion of the warmup chain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # scalar fetch forces the full chain
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    n_chips = 1
+    try:
+        import jax
+
+        n_chips = max(1, len(jax.devices()))
+    except Exception:
+        pass
+
+    clips_per_sec = None
+    for batch_size in (64, 16):
+        try:
+            clips_per_sec = run(batch_size)
+            break
+        except Exception as e:  # OOM at this batch — step down
+            print(f"batch {batch_size} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+    if clips_per_sec is None:
+        print(json.dumps({"metric": "train_clips_per_sec_per_chip",
+                          "value": 0.0, "unit": "clips/s/chip",
+                          "vs_baseline": 0.0}))
+        return
+
+    per_chip = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
