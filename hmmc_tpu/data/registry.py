@@ -1,0 +1,133 @@
+"""Dataset registry (reference: DATALOADER_DICT,
+dataloaders/dataloader.py:172-177).
+
+Factories take (task: TaskConfig, tokenizer) and return (BatchLoader,
+dataset). Data roots are resolved from ``task.data_dir`` with the
+reference's file layout:
+
+    {data_dir}/
+      frames.fpk | lmdb dir          — frame store
+      msrvtt/MSRVTT_JSFUSION_test.1k.csv
+      msrvtt/MSRVTT_train.9k.csv
+      msrvtt/MSRVTT_data.json
+      vatex/{train,val,test}_list.txt, vatex/vatex_data.json
+      bird/{pretrain,query}.json
+
+Unlike the reference, the data roots are NOT hard-coded absolute paths
+(dataloader.py's /ai/swxdisk/... constants).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Tuple
+
+from hmmc_tpu.config import TaskConfig
+from hmmc_tpu.data.datasets import (
+    BirdPretrainDataset, BirdTrainDataset, FrameSource, MsrvttEvalDataset,
+    MsrvttTrainDataset, VatexDataset)
+from hmmc_tpu.data.loader import BatchLoader
+
+
+def _store_path(task: TaskConfig, sub: str) -> str:
+    base = task.data_dir or "."
+    for cand in (os.path.join(base, sub, "frames.fpk"),
+                 os.path.join(base, "frames.fpk"),
+                 os.path.join(base, sub, "lmdb"),
+                 os.path.join(base, "lmdb")):
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"no frame store under {base!r} (looked for frames.fpk / lmdb)")
+
+
+def _source(task: TaskConfig, sub: str, mode: str,
+            frames_per_video: int = 30, key_prefix: str = "") -> FrameSource:
+    return FrameSource(
+        _store_path(task, sub), frames_per_video=frames_per_video,
+        mode=mode, key_prefix=key_prefix)
+
+
+def _loader(dataset, task: TaskConfig, train: bool) -> BatchLoader:
+    return BatchLoader(
+        dataset,
+        batch_size=task.batch_size if train else task.batch_size_val,
+        shuffle=train, drop_last=train,
+        num_workers=max(1, task.num_thread_reader), seed=task.seed)
+
+
+def msrvtt_train(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "msrvtt")
+    ds = MsrvttTrainDataset(
+        _source(task, "msrvtt", "eval"),
+        csv_path=os.path.join(base, "MSRVTT_train.9k.csv"),
+        json_path=os.path.join(base, "MSRVTT_data.json"),
+        tokenizer=tokenizer, max_words=task.max_words,
+        max_frames=task.max_frames, frame_sample=task.frame_sample,
+        language=task.language)
+    return _loader(ds, task, train=True), ds
+
+
+def msrvtt_test(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "msrvtt")
+    ds = MsrvttEvalDataset(
+        _source(task, "msrvtt", "eval"),
+        csv_path=os.path.join(base, "MSRVTT_JSFUSION_test.1k.csv"),
+        tokenizer=tokenizer, max_words=task.max_words,
+        max_frames=task.max_frames, frame_sample="uniform",
+        language=task.language)
+    return _loader(ds, task, train=False), ds
+
+
+def vatex_split(subset: str, train: bool):
+    def factory(task: TaskConfig, tokenizer):
+        base = os.path.join(task.data_dir or ".", "vatex")
+        ds = VatexDataset(
+            _source(task, "vatex", "eval"), data_path=base, subset=subset,
+            tokenizer=tokenizer, language=task.language,
+            max_words=task.max_words, max_frames=task.max_frames,
+            frame_sample=task.frame_sample if train else "uniform")
+        return _loader(ds, task, train=train), ds
+
+    return factory
+
+
+def vatex_pretrain(task: TaskConfig, tokenizer):
+    """Pretrain over VATEX reuses captions as both tag and title
+    (dataloader_vatex_retrieval.py:248-249): implemented by the pretrain
+    batch builder duplicating the caption fields."""
+    return vatex_split("pretrain", train=True)(task, tokenizer)
+
+
+def bird_pretrain(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "bird")
+    ds = BirdPretrainDataset(
+        _source(task, "bird", "aug", frames_per_video=48,
+                key_prefix="Video"),
+        json_path=os.path.join(base, "pretrain.json"), tokenizer=tokenizer,
+        language=task.language, max_frames=task.max_frames,
+        frame_sample=task.frame_sample,
+        frame_sample_len=task.frame_sample_len)
+    return _loader(ds, task, train=True), ds
+
+
+def bird_train(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "bird")
+    ds = BirdTrainDataset(
+        _source(task, "bird", "eval", frames_per_video=48,
+                key_prefix="Video"),
+        json_path=os.path.join(base, "query.json"), tokenizer=tokenizer,
+        language=task.language, max_frames=task.max_frames,
+        frame_sample=task.frame_sample,
+        frame_sample_len=task.frame_sample_len)
+    return _loader(ds, task, train=True), ds
+
+
+DATALOADER_DICT: Dict[str, Dict[str, Callable]] = {
+    "msrvtt": {"train": msrvtt_train, "test": msrvtt_test},
+    "vatex": {"pretrain": vatex_pretrain,
+              "train": vatex_split("train", True),
+              "val": vatex_split("val", False),
+              "test": vatex_split("test", False)},
+    "bird": {"pretrain": bird_pretrain, "train": bird_train},
+}

@@ -174,16 +174,16 @@ def loose_similarity(
     """Scaled cosine-similarity logits (modeling.py:207-229).
 
     sequence_output: [Bq, H]; visual_output: [Bv, H] -> [Bq, Bv], or
-    [Bv, F, H] -> [Bv, Bq, F] (per-frame logits, frame axis last-but-one
-    permuted exactly like the reference's 3-D branch).
+    [Bv, F, H] -> [Bq, Bv, F] (the reference's 3-D branch:
+    matmul -> [Bv, Bq, F] -> permute(1,0,2), modeling.py:224-227).
     logit_scale: scalar, already exp-ed and clamped by the caller.
     """
     v = _l2norm(visual_output.astype(jnp.float32))
     s = _l2norm(sequence_output.astype(jnp.float32))
     if v.ndim == 2:
         return logit_scale * jnp.matmul(s, v.T)
-    # [Bv, F, H] x [Bq, H] -> [Bv, Bq, F]
-    logits = logit_scale * jnp.einsum("vfh,qh->vqf", v, s)
+    # [Bv, F, H] x [Bq, H] -> [Bq, Bv, F]
+    logits = logit_scale * jnp.einsum("vfh,qh->qvf", v, s)
     return logits
 
 

@@ -1,0 +1,149 @@
+"""End-to-end eval pipeline test: synthetic FramePack store -> dataset ->
+BatchLoader -> Evaluator -> rank metrics, on the tiny architecture.
+
+Sanity property: with a model evaluated on ITS OWN random init, metrics are
+near chance; with a rigged (identical text/video feature) setup the ranks
+are perfect. We test the machinery: shapes, padding of the last partial
+batch, multi-sentence cut-off grouping."""
+
+import io
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+from hmmc_tpu.data.datasets import FrameSource, MsrvttEvalDataset, VatexDataset
+from hmmc_tpu.data.framepack import FramePackWriter
+from hmmc_tpu.data.loader import BatchLoader
+from hmmc_tpu.evaluation import Evaluator
+from hmmc_tpu.models.retrieval import BirdModel
+from hmmc_tpu.tokenization import ClipTokenizer
+
+TINY = ClipArch(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=16, context_length=16, vocab_size=49408,
+    transformer_width=32, transformer_heads=2, transformer_layers=2)
+TINY_CROSS = CrossConfig(
+    temporal_hidden_size=32, temporal_attention_heads=2,
+    temporal_hidden_layers=2, max_position_embeddings=8)
+
+N_VIDEOS = 7
+FRAMES_STORED = 6
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    path = str(root / "frames.fpk")
+    rng = np.random.default_rng(0)
+    with FramePackWriter(path) as w:
+        for i in range(N_VIDEOS):
+            frames = []
+            for _ in range(FRAMES_STORED):
+                arr = rng.integers(0, 255, size=(40, 52, 3), dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                frames.append(buf.getvalue())
+            w.add_video(f"video{i}", frames)
+    return path
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return ClipTokenizer()
+
+
+def test_msrvtt_eval_pipeline(store, tmp_path, tokenizer):
+    import pandas as pd
+
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({
+        "video_id": [f"video{i}" for i in range(N_VIDEOS)],
+        "sentence": [f"a cat number {i} plays" for i in range(N_VIDEOS)],
+    }).to_csv(csv, index=False)
+
+    source = FrameSource(store, frames_per_video=FRAMES_STORED,
+                         mode="eval", resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), tokenizer, max_words=16,
+                           max_frames=4)
+    assert len(ds) == N_VIDEOS
+    sample = ds[0]
+    assert sample["video"].shape == (4, 32, 32, 3)
+    assert sample["video"].dtype == np.uint8
+    assert sample["query_ids"].shape == (16,)
+
+    loader = BatchLoader(ds, batch_size=3, num_workers=2)  # 7 -> 3+3+1
+    task = TaskConfig(do_eval=True, top_frames=2, use_frame_fea=True)
+    model = BirdModel(TINY, TINY_CROSS)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+        jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
+
+    ev = Evaluator(model, task, query_block=4)
+    metrics = ev.run(params, loader, ds)
+    for k in ("R1", "R5", "R10", "MR", "MeanR"):
+        assert k in metrics and np.isfinite(metrics[k])
+    assert "v2t_R1" in metrics
+    # 7 videos: R10 must be 100 (top-10 covers everything)
+    assert metrics["R10"] == 100.0
+
+
+def test_vatex_multisentence_pipeline(store, tmp_path, tokenizer):
+    base = tmp_path / "vatex"
+    base.mkdir()
+    vids = [f"video{i}" for i in range(N_VIDEOS)]
+    (base / "test_list.txt").write_text("\n".join(vids))
+    captions = {v: {"enCap": [f"sentence {j} about {v}"
+                              for j in range(1 + i % 3)],
+                    "chCap": ["某句话"]}
+                for i, v in enumerate(vids)}
+    (base / "vatex_data.json").write_text(json.dumps(captions))
+
+    source = FrameSource(store, frames_per_video=FRAMES_STORED,
+                         mode="eval", resolution=32)
+    ds = VatexDataset(source, str(base), "test", tokenizer,
+                      language="english", max_words=16, max_frames=4)
+    assert ds.video_num == N_VIDEOS
+    assert ds.cut_off_points[-1] == len(ds)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    task = TaskConfig(do_eval=True, top_frames=2)
+    model = BirdModel(TINY, TINY_CROSS)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+        jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
+    ev = Evaluator(model, task, query_block=4)
+    q, v, f, multi, cut_off = ev.cache_features(params, loader, ds)
+    assert multi
+    assert q.shape[0] == len(ds)
+    assert v.shape[0] == N_VIDEOS          # only cut-off videos encoded
+    metrics = ev.run(params, loader, ds)
+    assert np.isfinite(metrics["R1"])
+
+
+def test_batch_loader_epoch_shuffle(store, tokenizer, tmp_path):
+    import pandas as pd
+
+    csv = tmp_path / "t.csv"
+    pd.DataFrame({"video_id": [f"video{i % N_VIDEOS}" for i in range(10)],
+                  "sentence": [f"s{i}" for i in range(10)]}).to_csv(
+        csv, index=False)
+    source = FrameSource(store, frames_per_video=FRAMES_STORED,
+                         mode="eval", resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), tokenizer, max_words=8,
+                           max_frames=2)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                         num_workers=2, seed=7)
+    loader.set_epoch(0)
+    b0 = [b["idx"].tolist() for b in loader]
+    loader.set_epoch(0)
+    b0_again = [b["idx"].tolist() for b in loader]
+    assert b0 == b0_again                      # deterministic per epoch
+    loader.set_epoch(1)
+    b1 = [b["idx"].tolist() for b in loader]
+    assert b0 != b1                            # reshuffled across epochs
+    assert len(b0) == 2                        # drop_last: 10 -> 2 batches

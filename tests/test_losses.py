@@ -107,11 +107,15 @@ def test_loose_similarity_2d_and_3d():
     np.testing.assert_allclose(np.asarray(out2), 100 * sn @ vn.T, rtol=1e-4)
 
     out3 = losses.loose_similarity(jnp.asarray(s), jnp.asarray(v3), scale)
-    # reference 3-D branch returns [Bv, Bq, F] after its permute
-    assert out3.shape == (Bv, Bq, Fr)
+    # reference 3-D branch returns [Bq, Bv, F] after its permute(1,0,2)
+    assert out3.shape == (Bq, Bv, Fr)
     v3n = v3 / np.linalg.norm(v3, axis=-1, keepdims=True)
-    expect = 100 * np.einsum("vfh,qh->vqf", v3n, sn)
+    expect = 100 * np.einsum("vfh,qh->qvf", v3n, sn)
     np.testing.assert_allclose(np.asarray(out3), expect, rtol=1e-4)
+    # torch cross-check of the permute semantics
+    tm = torch.matmul(torch.tensor(sn), torch.tensor(v3n).permute(0, 2, 1))
+    tm = (100 * tm).permute(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(out3), tm.numpy(), rtol=1e-4)
 
 
 def test_finetune_retrieval_loss_gradients_flow():
