@@ -1,0 +1,167 @@
+"""CLI driver shared by main_task_retrieval.py and main_pretrain.py.
+
+Flag surface preserves the reference's names
+(main_task_retrieval.py:33-97, main_pretrain.py:33-100) so launch commands
+port over; DDP flags (--local_rank/--rank/--world_size/--n_gpu) are accepted
+and ignored (one logical JAX program replaces per-rank processes), and
+--enable_amp is accepted but superseded by bf16-on-TPU (--compute_dtype).
+
+TPU-native extras: --clip_model (local ViT-B-32.pt path — the reference
+auto-downloads it), --dp_size, --compute_dtype, --use_pallas_attention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from hmmc_tpu.config import CrossConfig, TaskConfig, load_cross_config
+
+logger = logging.getLogger(__name__)
+
+
+def get_args(description: str = "HMMC-TPU on Retrieval Task",
+             argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--do_pretrain", action="store_true")
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--do_params", action="store_true")
+    p.add_argument("--use_frame_fea", action="store_true")
+    p.add_argument("--task", type=str, default="retrieval",
+                   choices=["retrieval_VT", "retrieval"])
+    p.add_argument("--dataset", type=str, default="bird",
+                   choices=["bird", "msrvtt", "vatex", "msvd"])
+    p.add_argument("--num_thread_reader", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--text_lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size_val", type=int, default=3500)
+    p.add_argument("--lr_decay", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=0.2)
+    p.add_argument("--n_display", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_words", type=int, default=32)
+    p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--top_frames", type=int, default=3)
+    p.add_argument("--frame_sample", type=str, default="uniform",
+                   choices=["uniform", "random", "uniform_random"])
+    p.add_argument("--frame_sample_len", type=str, default="fix",
+                   choices=["dynamic", "fix"])
+    p.add_argument("--language", type=str, default="chinese",
+                   choices=["chinese", "english"])
+    p.add_argument("--use_temp", action="store_true")
+    p.add_argument("--logdir", default=None, type=str)
+    p.add_argument("--output_dir", default=None, type=str, required=True)
+    p.add_argument("--cross_model", default="cross-base", type=str)
+    p.add_argument("--init_model", default=None, type=str)
+    p.add_argument("--warmup_proportion", default=0.1, type=float)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--cache_dir", default="", type=str)
+    p.add_argument("--enable_amp", action="store_true",
+                   help="accepted for compat; bf16 is the TPU default")
+    # accepted-and-ignored DDP flags
+    p.add_argument("--n_gpu", type=int, default=1)
+    p.add_argument("--world_size", default=0, type=int)
+    p.add_argument("--local_rank", default=0, type=int)
+    p.add_argument("--rank", default=0, type=int)
+    p.add_argument("--coef_lr", type=float, default=1.0)
+    # pretrain contrast flags (main_pretrain.py:61-63)
+    p.add_argument("--contrast_num_negative", type=int, default=1024)
+    p.add_argument("--contrast_momentum", type=float, default=0.99)
+    p.add_argument("--contrast_temperature", type=float, default=0.07)
+    # TPU-native extras
+    p.add_argument("--data_dir", default=None, type=str,
+                   help="root of frame stores + annotations")
+    p.add_argument("--clip_model", default=None, type=str,
+                   help="local path of OpenAI ViT-B-32.pt")
+    p.add_argument("--pretrained_text", default="hfl/chinese-roberta-wwm-ext",
+                   type=str)
+    p.add_argument("--compute_dtype", default="bfloat16", type=str,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--dp_size", type=int, default=0)
+    p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume full state from output_dir (TPU extra; the "
+                        "reference restarts schedules)")
+    return p.parse_args(argv)
+
+
+def to_task_config(args: argparse.Namespace) -> TaskConfig:
+    fields = {f.name for f in TaskConfig.__dataclass_fields__.values()}
+    kv = {k: v for k, v in vars(args).items() if k in fields}
+    task = TaskConfig(**kv)
+    task.validate()
+    return task
+
+
+def setup_logging(output_dir: Optional[str]) -> logging.Logger:
+    """util.get_logger parity (util.py:64-75): console + output_dir/log.txt."""
+    handlers = [logging.StreamHandler()]
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(
+            os.path.join(output_dir, "log.txt")))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s: %(message)s",
+        handlers=handlers, force=True)
+    return logging.getLogger("hmmc_tpu")
+
+
+def set_seed(seed: int) -> None:
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_tokenizer(task: TaskConfig):
+    if task.language == "chinese":
+        from hmmc_tpu.tokenization.wordpiece import load_bert_tokenizer
+
+        return load_bert_tokenizer(task.pretrained_text)
+    from hmmc_tpu.tokenization import ClipTokenizer
+
+    return ClipTokenizer()
+
+
+class MetricsWriter:
+    """Scalar logging (replaces tensorboardX; uses tf.summary when
+    available, else JSONL)."""
+
+    def __init__(self, logdir: Optional[str]):
+        self._tf = None
+        self._jsonl = None
+        if not logdir:
+            return
+        os.makedirs(logdir, exist_ok=True)
+        try:
+            import tensorflow as tf
+
+            self._tf = tf.summary.create_file_writer(logdir)
+        except Exception:
+            self._jsonl = open(os.path.join(logdir, "scalars.jsonl"), "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._tf is not None:
+            import tensorflow as tf
+
+            with self._tf.as_default():
+                tf.summary.scalar(tag, value, step=step)
+        elif self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "value": float(value), "step": step}) + "\n")
+            self._jsonl.flush()
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -139,6 +139,8 @@ class TaskConfig:
     pretrained_text: str = "hfl/chinese-roberta-wwm-ext"
     # data
     data_dir: Optional[str] = None
+    # input resolution; 0 = derive from the CLIP arch (224 for ViT-B)
+    image_resolution: int = 0
     num_thread_reader: int = 1
     max_words: int = 32
     max_frames: int = 12

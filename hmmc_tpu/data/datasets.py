@@ -73,11 +73,17 @@ def _decode_aug(blob, size: int) -> np.ndarray:
 
 class FrameSource:
     """Frame store + decode policy. ``key_prefix`` covers the bird datasets'
-    "Video{docid}" keys (dataloader_bird.py:236)."""
+    "Video{docid}" keys (dataloader_bird.py:236).
+
+    When the native batched decoder (native/hmmc_jpeg.cpp) is built, whole
+    frame sets decode in one C call; otherwise the PIL (eval, torchvision
+    bicubic parity) / cv2 (aug) per-frame paths run. ``use_native=None``
+    auto-detects."""
 
     def __init__(self, store_path: str, frames_per_video: int = 30,
                  mode: str = "eval", resolution: int = 224,
-                 aug_size: int = 256, key_prefix: str = ""):
+                 aug_size: int = 256, key_prefix: str = "",
+                 use_native: Optional[bool] = None):
         self.store = open_frame_store(store_path, frames_per_video)
         self.default_frames = frames_per_video
         self.mode = mode
@@ -85,6 +91,14 @@ class FrameSource:
         self.aug_size = aug_size
         self.key_prefix = key_prefix
         self.out_size = resolution if mode == "eval" else aug_size
+        if use_native is None:
+            from hmmc_tpu.data import jpeg_native
+
+            # default native decode for training-side (aug) reads only:
+            # eval keeps the PIL bicubic path for metric parity with the
+            # reference's torchvision Resize
+            use_native = mode != "eval" and jpeg_native.available()
+        self.use_native = use_native
 
     def stored_frames(self, video_id: str) -> int:
         try:
@@ -95,6 +109,11 @@ class FrameSource:
     def load(self, video_id: str, indices: Sequence[int]) -> np.ndarray:
         key = self.key_prefix + video_id
         blobs = self.store.get_frames(key, list(indices))
+        if self.use_native:
+            from hmmc_tpu.data import jpeg_native
+
+            return jpeg_native.decode_batch(blobs, self.out_size,
+                                            num_threads=1)
         dec = (_decode_eval if self.mode == "eval" else _decode_aug)
         return np.stack([dec(b, self.out_size) for b in blobs])
 

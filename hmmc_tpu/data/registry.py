@@ -43,9 +43,11 @@ def _store_path(task: TaskConfig, sub: str) -> str:
 
 def _source(task: TaskConfig, sub: str, mode: str,
             frames_per_video: int = 30, key_prefix: str = "") -> FrameSource:
+    res = task.image_resolution or 224
     return FrameSource(
         _store_path(task, sub), frames_per_video=frames_per_video,
-        mode=mode, key_prefix=key_prefix)
+        mode=mode, resolution=res, aug_size=res * 8 // 7,  # 224 -> 256
+        key_prefix=key_prefix)
 
 
 def _loader(dataset, task: TaskConfig, train: bool) -> BatchLoader:

@@ -1,0 +1,277 @@
+"""Top-level run modes: train / pretrain / eval / params
+(reference: main() of main_task_retrieval.py:528-635 and
+main_pretrain.py:493-580).
+
+Per-epoch flow matches the reference: train_epoch over the shuffled loader,
+eval_epoch after each epoch (fine-tune), best-R@1 checkpoint tracking, model
+saved every epoch — natively as Orbax state and optionally as a
+reference-format torch state dict.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hmmc_tpu import factory
+from hmmc_tpu.cli import (MetricsWriter, make_tokenizer, set_seed,
+                          setup_logging, to_task_config)
+from hmmc_tpu.config import TaskConfig, load_cross_config
+from hmmc_tpu.data.registry import DATALOADER_DICT
+from hmmc_tpu.evaluation import Evaluator
+from hmmc_tpu.models.pretrain import MoCoQueues
+from hmmc_tpu.ops import image_ops
+from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from hmmc_tpu.train import orbax_io
+from hmmc_tpu.train.optimization import build_optimizer
+from hmmc_tpu.train.trainer import (
+    FinetuneState, PretrainState, make_finetune_step, make_pretrain_step)
+
+
+def _prepare_finetune_batch(batch: Dict) -> Dict:
+    """Host uint8 -> device float; the train datasets decode at final
+    resolution so only normalization remains (device-side)."""
+    video = image_ops.normalize(image_ops.to_float(
+        jnp.asarray(batch["video"])))
+    return {"query_ids": jnp.asarray(batch["query_ids"]),
+            "query_mask": jnp.asarray(batch["query_mask"]),
+            "video": video}
+
+
+def _prepare_pretrain_batch(batch: Dict, rng, out: int = 224) -> Dict:
+    """SimCLR augmentation on device over the flattened frame axis."""
+    v = jnp.asarray(batch["video"])
+    b, f = v.shape[0], v.shape[1]
+    flat = v.reshape(b * f, *v.shape[2:])
+    aug = image_ops.simclr_augment(rng, flat, out=out)
+    out_batch = {"video": aug.reshape(b, f, out, out, 3),
+                 "title_ids": jnp.asarray(batch["title_ids"]),
+                 "title_mask": jnp.asarray(batch["title_mask"])}
+    if "tag_ids" in batch:
+        out_batch["tag_ids"] = jnp.asarray(batch["tag_ids"])
+        out_batch["tag_mask"] = jnp.asarray(batch["tag_mask"])
+    return out_batch
+
+
+def _mlm_token_ids(task: TaskConfig, tokenizer):
+    return (tokenizer.mask_token_id, tokenizer.pad_token_id,
+            getattr(tokenizer, "cls_token_id", 0))
+
+
+def _task_with_resolution(args):
+    from hmmc_tpu.config import ClipArch
+
+    task = to_task_config(args)
+    cross = load_cross_config(task.cross_model)
+    if not task.image_resolution:
+        arch = ClipArch.by_name(cross.pretrained_clip_name)
+        task = task.replace(image_resolution=arch.image_resolution)
+    return task, cross
+
+
+def run_eval(args, log=None) -> Dict[str, float]:
+    task, cross = _task_with_resolution(args)
+    log = log or setup_logging(task.output_dir)
+    set_seed(task.seed)
+    tokenizer = make_tokenizer(task)
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model)
+    split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
+    loader, dataset = DATALOADER_DICT[task.dataset][split](task, tokenizer)
+    ev = Evaluator(model, task)
+    metrics = ev.run(variables["params"], loader, dataset, log)
+    return metrics
+
+
+def run_finetune(args, log=None) -> Dict[str, float]:
+    task, cross = _task_with_resolution(args)
+    log = log or setup_logging(task.output_dir)
+    set_seed(task.seed)
+    tokenizer = make_tokenizer(task)
+    writer = MetricsWriter(task.logdir)
+
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model)
+    params = variables["params"]
+
+    train_loader, _ = DATALOADER_DICT[task.dataset]["train"](task, tokenizer)
+    eval_split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
+    eval_loader, eval_dataset = DATALOADER_DICT[task.dataset][eval_split](
+        task, tokenizer)
+
+    steps_per_epoch = len(train_loader)
+    t_total = steps_per_epoch * task.epochs
+    tx = build_optimizer(
+        params, lr=task.lr, text_lr=task.text_lr, coef_lr=task.coef_lr,
+        weight_decay=task.weight_decay,
+        warmup_proportion=task.warmup_proportion, t_total=t_total)
+    state = FinetuneState.create(params, tx)
+    step_fn = make_finetune_step(
+        model, tx, cross, use_frame_fea=task.use_frame_fea,
+        n_accum=task.gradient_accumulation_steps)
+
+    mesh = make_mesh(MeshSpec(dp=task.dp_size))
+    ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        latest = orbax_io.latest_step(ckpt_dir)
+        if latest is not None:
+            state = orbax_io.restore_state(ckpt_dir, state, latest)
+            start_epoch = latest
+            log.info("resumed epoch %d from %s", latest, ckpt_dir)
+
+    evaluator = Evaluator(model, task)
+    best_r1, best_metrics = -1.0, {}
+    global_step = int(state.step)
+    for epoch in range(start_epoch, task.epochs):
+        train_loader.set_epoch(epoch)
+        t_data, t_step = 0.0, 0.0
+        t0 = time.time()
+        for batch in train_loader:
+            dev_batch = shard_batch(mesh, _prepare_finetune_batch(batch))
+            t1 = time.time()
+            state, metrics = step_fn(state, dev_batch)
+            t2 = time.time()
+            t_data += t1 - t0
+            t_step += t2 - t1
+            global_step += 1
+            if global_step % task.n_display == 0:
+                loss = float(metrics["loss"])
+                log.info(
+                    "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
+                    epoch, global_step, loss, t_data, t_step)
+                writer.scalar("loss", loss, global_step)
+                t_data = t_step = 0.0
+            t0 = time.time()
+        orbax_io.save_state(ckpt_dir, state, epoch + 1)
+        if task.output_dir:
+            orbax_io.save_reference_checkpoint(
+                os.path.join(task.output_dir,
+                             f"pytorch_model.bin.{epoch}"),
+                state.params, language=task.language)
+        metrics = evaluator.run(state.params, eval_loader, eval_dataset, log)
+        writer.scalar("R1", metrics["R1"], epoch)
+        if metrics["R1"] > best_r1:
+            best_r1, best_metrics = metrics["R1"], metrics
+            log.info("new best R@1 %.1f at epoch %d", best_r1, epoch)
+    writer.close()
+    log.info("best t2v R@1: %.1f", best_r1)
+    return best_metrics
+
+
+def run_pretrain(args, log=None) -> None:
+    task, cross = _task_with_resolution(args)
+    log = log or setup_logging(task.output_dir)
+    set_seed(task.seed)
+    tokenizer = make_tokenizer(task)
+    writer = MetricsWriter(task.logdir)
+
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model,
+        pretrain=True)
+
+    loader, _ = DATALOADER_DICT[task.dataset]["pretrain"](task, tokenizer)
+    steps_per_epoch = len(loader)
+    t_total = steps_per_epoch * task.epochs
+    tx = build_optimizer(
+        variables["params"], lr=task.lr, text_lr=task.text_lr,
+        coef_lr=task.coef_lr, weight_decay=task.weight_decay,
+        warmup_proportion=task.warmup_proportion, t_total=t_total)
+    queues = MoCoQueues.create(
+        jax.random.PRNGKey(task.seed), cross.temporal_hidden_size,
+        task.contrast_num_negative, task.max_frames)
+    state = PretrainState.create(variables, tx, queues)
+    mask_id, pad_id, cls_id = _mlm_token_ids(task, tokenizer)
+    step_fn = make_pretrain_step(
+        model, tx, cross, task, mask_token_id=mask_id, pad_token_id=pad_id,
+        cls_token_id=cls_id)
+
+    mesh = make_mesh(MeshSpec(dp=task.dp_size))
+    ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        latest = orbax_io.latest_step(ckpt_dir)
+        if latest is not None:
+            state = orbax_io.restore_state(ckpt_dir, state, latest)
+            start_epoch = latest
+
+    rng = jax.random.PRNGKey(task.seed)
+    global_step = int(state.step)
+    for epoch in range(start_epoch, task.epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            rng, r_aug, r_step = jax.random.split(rng, 3)
+            if task.dataset == "vatex":
+                # pretrain over vatex uses the caption as both tag & title
+                # (dataloader_vatex_retrieval.py:248-249)
+                batch = dict(batch)
+                batch.setdefault("title_ids", batch.pop("query_ids"))
+                batch.setdefault("title_mask", batch.pop("query_mask"))
+            dev_batch = shard_batch(mesh, _prepare_pretrain_batch(
+                batch, r_aug, out=task.image_resolution or 224))
+            state, metrics = step_fn(state, dev_batch, r_step)
+            global_step += 1
+            if global_step % task.n_display == 0:
+                log.info(
+                    "epoch %d step %d loss %.4f (FAM %.3f VTM %.3f FTM "
+                    "%.3f MLM %.3f)", epoch, global_step,
+                    float(metrics["loss"]), float(metrics["loss_FAM"]),
+                    float(metrics["loss_VTM"]), float(metrics["loss_FTM"]),
+                    float(metrics["loss_MLM"]))
+                for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
+                          "loss_MLM"):
+                    writer.scalar(k, float(metrics[k]), global_step)
+        orbax_io.save_state(ckpt_dir, state, epoch + 1)
+        if task.output_dir:
+            orbax_io.save_reference_checkpoint(
+                os.path.join(task.output_dir,
+                             f"pytorch_model.bin.{epoch}"),
+                state.params, language=task.language)
+    writer.close()
+
+
+def run_params(args, log=None) -> Dict[str, float]:
+    """--do_params: parameter count + analytical forward FLOPs via XLA cost
+    analysis (reference uses thop.profile, main_task_retrieval.py:623-633)."""
+    task, cross = _task_with_resolution(args)
+    log = log or setup_logging(task.output_dir)
+    tokenizer = make_tokenizer(task)
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model)
+    n_params = factory.count_params(variables["params"])
+
+    ids = jnp.zeros((1, task.max_words), jnp.int32)
+    mask = jnp.ones((1, task.max_words), jnp.int32)
+    res = task.image_resolution or 224
+    video = jnp.zeros((1, task.max_frames, res, res, 3), jnp.float32)
+    lowered = jax.jit(
+        lambda p, i, m, v: model.apply({"params": p}, i, m, v)).lower(
+        variables["params"], ids, mask, video)
+    try:
+        cost = lowered.compile().cost_analysis()
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    log.info("params: %.2fM  forward flops (batch 1): %.2fG",
+             n_params / 1e6, flops / 1e9)
+    return {"params": n_params, "flops": flops}
+
+
+def main(args) -> None:
+    if args.do_params:
+        run_params(args)
+    if args.do_pretrain:
+        run_pretrain(args)
+    elif args.do_train:
+        run_finetune(args)
+    elif args.do_eval:
+        run_eval(args)

@@ -463,9 +463,13 @@ def merge_params(init: Dict, imported: Dict,
                 else:
                     sv = np.asarray(src[k])
                     if tuple(sv.shape) != tuple(np.shape(v)):
-                        raise ValueError(
-                            f"shape mismatch at {p}: checkpoint "
-                            f"{sv.shape} vs model {np.shape(v)}")
+                        if sv.size == np.size(v):
+                            # e.g. scalar logit_scale stored as shape (1,)
+                            sv = sv.reshape(np.shape(v))
+                        else:
+                            raise ValueError(
+                                f"shape mismatch at {p}: checkpoint "
+                                f"{sv.shape} vs model {np.shape(v)}")
                     out[k] = sv.astype(np.asarray(v).dtype)
             else:
                 out[k] = v

@@ -1,0 +1,161 @@
+"""End-to-end CLI smoke tests: synthetic FramePack + annotations ->
+run_finetune (1 epoch, incl. eval + checkpoints) and run_pretrain (1 epoch)
+and run_eval, all on a tiny architecture over the 8-CPU-device mesh."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import hmmc_tpu.config as config_mod
+from hmmc_tpu.cli import get_args
+from hmmc_tpu.data.framepack import FramePackWriter
+
+TINY_NAME = "ViT-Test/16"
+N_VIDEOS = 12
+FRAMES_STORED = 4
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tiny_arch():
+    config_mod.CLIP_ARCH[TINY_NAME] = dict(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=64, vocab_size=49408,
+        transformer_width=32, transformer_heads=2, transformer_layers=2)
+    yield
+    config_mod.CLIP_ARCH.pop(TINY_NAME, None)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.default_rng(0)
+
+    def jpeg():
+        arr = rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    with FramePackWriter(str(root / "frames.fpk")) as w:
+        for i in range(N_VIDEOS):
+            w.add_video(f"video{i}", [jpeg() for _ in range(FRAMES_STORED)])
+        # bird keys carry the "Video" prefix (dataloader_bird.py:236)
+        for i in range(N_VIDEOS):
+            w.add_video(f"Videodoc{i}", [jpeg() for _ in range(FRAMES_STORED)])
+
+    msrvtt = root / "msrvtt"
+    msrvtt.mkdir()
+    import pandas as pd
+
+    vids = [f"video{i}" for i in range(N_VIDEOS)]
+    pd.DataFrame({"video_id": vids,
+                  "sentence": [f"test sentence {i}" for i in
+                               range(N_VIDEOS)]}).to_csv(
+        msrvtt / "MSRVTT_JSFUSION_test.1k.csv", index=False)
+    pd.DataFrame({"video_id": vids}).to_csv(
+        msrvtt / "MSRVTT_train.9k.csv", index=False)
+    (msrvtt / "MSRVTT_data.json").write_text(json.dumps({
+        "sentences": [{"video_id": v, "caption": f"a clip about {v} "
+                      f"number {j}"} for v in vids for j in range(2)]}))
+
+    bird = root / "bird"
+    bird.mkdir()
+    with open(bird / "pretrain.json", "w") as f:
+        for i in range(N_VIDEOS):
+            f.write(json.dumps({
+                "docid": f"doc{i}", "duration": 20,
+                "tag": f"标签 {i}", "title": f"标题 {i}",
+                "tag_eng": f"tag words {i}", "title_eng": f"title {i}",
+            }) + "\n")
+    with open(bird / "query.json", "w") as f:
+        for i in range(N_VIDEOS):
+            f.write(json.dumps({
+                "query": f"查询 {i}", "query_eng": f"query {i}",
+                "videolist": [{"docid": f"doc{i}", "title": f"标题 {i}",
+                               "title_eng": f"title {i}", "duration": 20}],
+            }) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cross_json(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "cross-tiny.json"
+    p.write_text(json.dumps({
+        "pretrained_clip_name": TINY_NAME, "temporal_hidden_size": 32,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 2,
+        "max_position_embeddings": 8}))
+    return str(p)
+
+
+def _args(data_dir, cross_json, out, extra):
+    argv = [
+        "--output_dir", out, "--data_dir", data_dir,
+        "--cross_model", cross_json, "--language", "english",
+        "--use_temp", "--use_frame_fea", "--max_words", "16",
+        "--max_frames", "4", "--batch_size", "8", "--batch_size_val", "8",
+        "--epochs", "1", "--num_thread_reader", "2", "--n_display", "1",
+        "--compute_dtype", "float32",
+    ] + extra
+    return get_args(argv=argv)
+
+
+def test_run_eval(data_dir, cross_json, tmp_path):
+    from hmmc_tpu.runner import run_eval
+
+    args = _args(data_dir, cross_json, str(tmp_path / "out"),
+                 ["--do_eval", "--dataset", "msrvtt"])
+    metrics = run_eval(args)
+    assert np.isfinite(metrics["R1"]) and metrics["R10"] <= 100.0
+
+
+def test_run_finetune_msrvtt(data_dir, cross_json, tmp_path):
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "ft")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    # native + reference-format checkpoints written
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+    assert os.path.isfile(os.path.join(out, "pytorch_model.bin.0"))
+
+
+def test_reference_checkpoint_reimport(data_dir, cross_json, tmp_path):
+    """Exported torch checkpoint loads back through --init_model."""
+    from hmmc_tpu.runner import run_eval, run_finetune
+
+    out = str(tmp_path / "ft2")
+    run_finetune(_args(data_dir, cross_json, out,
+                       ["--do_train", "--dataset", "msrvtt"]))
+    ckpt = os.path.join(out, "pytorch_model.bin.0")
+    args = _args(data_dir, cross_json, str(tmp_path / "ev"),
+                 ["--do_eval", "--dataset", "msrvtt",
+                  "--init_model", ckpt])
+    metrics = run_eval(args)
+    assert np.isfinite(metrics["R1"])
+
+
+def test_run_pretrain_bird(data_dir, cross_json, tmp_path):
+    from hmmc_tpu.runner import run_pretrain
+
+    out = str(tmp_path / "pt")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_pretrain", "--dataset", "bird",
+                  "--contrast_num_negative", "16",
+                  "--frame_sample_len", "dynamic"])
+    run_pretrain(args)
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_run_params(data_dir, cross_json, tmp_path):
+    from hmmc_tpu.runner import run_params
+
+    args = _args(data_dir, cross_json, str(tmp_path / "p"),
+                 ["--do_params", "--dataset", "msrvtt"])
+    out = run_params(args)
+    assert out["params"] > 0
