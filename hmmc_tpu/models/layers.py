@@ -101,6 +101,7 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -119,7 +120,8 @@ class SelfAttention(nn.Module):
             "out_bias", nn.initializers.zeros, (d,), self.param_dtype)
         return multi_head_attention(
             x.astype(self.dtype), in_proj_kernel, in_proj_bias, out_kernel,
-            out_bias, self.num_heads, mask, use_pallas=self.use_pallas)
+            out_bias, self.num_heads, mask, use_pallas=self.use_pallas,
+            causal=self.causal)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -130,6 +132,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -137,7 +140,7 @@ class ResidualAttentionBlock(nn.Module):
         d = x.shape[-1]
         attn = SelfAttention(
             self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, name="attn")
+            use_pallas=self.use_pallas, causal=self.causal, name="attn")
         ln_1 = LayerNorm(param_dtype=self.param_dtype, name="ln_1")
         ln_2 = LayerNorm(param_dtype=self.param_dtype, name="ln_2")
         c_fc = Linear(4 * d, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -156,12 +159,14 @@ class _ScanBlock(nn.Module):
     dtype: Dtype
     param_dtype: Dtype
     use_pallas: bool
+    causal: bool
 
     @nn.compact
     def __call__(self, x, mask):
         y = ResidualAttentionBlock(
             self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, name="block")(x, mask)
+            use_pallas=self.use_pallas, causal=self.causal,
+            name="block")(x, mask)
         return y, None
 
 
@@ -175,6 +180,7 @@ class Transformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -189,6 +195,6 @@ class Transformer(nn.Module):
             length=self.layers,
             in_axes=nn.broadcast,
         )(self.num_heads, self.dtype, self.param_dtype, self.use_pallas,
-          name="resblocks")
+          self.causal, name="resblocks")
         x, _ = stack(x, mask)
         return x

@@ -67,7 +67,7 @@ class ClipTextTower(nn.Module):
         x = Transformer(
             layers=a.transformer_layers, num_heads=a.transformer_heads,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, name="transformer")(
+            use_pallas=self.use_pallas, causal=True, name="transformer")(
                 x, causal_mask(l))
         hidden = LayerNorm(param_dtype=self.param_dtype, name="ln_final")(x)
         hidden = hidden @ text_projection.astype(self.dtype)

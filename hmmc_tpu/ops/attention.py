@@ -52,12 +52,16 @@ def multi_head_attention(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with a packed qkv projection.
 
     x: [B, L, D]. in_proj_kernel: [D, 3D] ([in, out] layout; the torch
     checkpoint's in_proj_weight [3D, D] is transposed on import).
-    mask: additive, broadcastable to [B, H, L, L].
+    mask: additive, broadcastable to [B, H, L, L]. ``causal`` flags the
+    causal pattern statically so the Pallas kernel can apply it in-kernel
+    (the XLA path keeps using ``mask``, which the caller builds to include
+    causality).
     """
     b, l, d = x.shape
     head_dim = d // num_heads
@@ -72,7 +76,8 @@ def multi_head_attention(
     if use_pallas:
         from hmmc_tpu.ops.pallas_attention import flash_attention
 
-        out = flash_attention(q, k, v, mask)
+        out = flash_attention(q, k, v, None if causal else mask,
+                              causal=causal)
     else:
         out = dot_product_attention(q, k, v, mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)

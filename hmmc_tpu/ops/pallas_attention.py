@@ -1,0 +1,148 @@
+"""Fused attention kernel (Pallas/TPU).
+
+Shape regime (SURVEY §5): sequences here are SHORT — 32-77 text tokens,
+50-197 ViT patches, 12-48 frames — while the batch*heads axis is large
+(B*12 frames*12 heads). The right kernel for that regime is not a
+KV-blocked flash loop (nothing to tile at L<=256) but a single fused block
+per (batch, head): QK^T, fp32 softmax, and PV in one VMEM-resident program,
+eliminating the HBM round-trips of the unfused chain. Sequence length is
+padded to the 128-lane tile and padded KEYS are masked with -inf; padded
+query rows are sliced away by the caller.
+
+Causal masking (the CLIP text tower, module_clip.py:441-447) is computed
+in-kernel from iota; arbitrary additive masks fall back to XLA attention
+(hmmc_tpu.ops.attention).
+
+Backward: custom_vjp whose backward recomputes through the jnp reference
+attention (at these lengths recompute is cheaper than storing the
+[L, L] probabilities; XLA fuses the backward chain well).
+
+Measured (v5e, bf16, B*F=192, H=12, L=50, D=64): fused kernel 2.9ms vs
+XLA chain 1.4ms — the 128-lane padding (50->128, 64->128) wastes ~6.5x
+compute at ViT-B/32 lengths, so XLA attention stays the DEFAULT
+(TaskConfig.use_pallas_attention=False); this kernel is for the stretch
+configs (ViT-B/16 L=197, max_frames 48) where padding waste shrinks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, true_len: int,
+                      causal: bool, scale: float):
+    q = q_ref[0].astype(jnp.float32)            # [Lp, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale     # [Lp, Lp]
+    lp = logits.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = cols < true_len                       # kill padded keys
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = jnp.logical_and(mask, cols <= rows)
+    logits = jnp.where(mask, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   causal: bool) -> jnp.ndarray:
+    b, h, l, d = q.shape
+    lp = _round_up(l, 128)
+    dp = _round_up(d, 128)
+    scale = d ** -0.5
+
+    def prep(t):
+        t = t.reshape(b * h, l, d)
+        return jnp.pad(t, ((0, 0), (0, lp - l), (0, dp - d)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    kernel = functools.partial(
+        _attention_kernel, true_len=l, causal=causal, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lp, dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lp * lp * dp,
+            bytes_accessed=4 * b * h * lp * dp * q.dtype.itemsize,
+            transcendentals=b * h * lp * lp),
+    )(qp, kp, vp)
+    return out[:, :l, :d].reshape(b, h, l, d)
+
+
+def _attention_reference(q, k, v, causal: bool):
+    """jnp reference (used for the backward pass)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    if causal:
+        l = q.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+        logits = jnp.where((cols <= rows)[None, None], logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    causal: bool = False) -> jnp.ndarray:
+    """q, k, v: [B, H, L, D] -> [B, H, L, D]."""
+    return _flash_forward(q, k, v, causal)
+
+
+def _fwd(q, k, v, causal):
+    return _flash_forward(q, k, v, causal), (q, k, v)
+
+
+def _bwd(causal, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, causal),
+                     q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None,
+                    causal: bool = False) -> jnp.ndarray:
+    """Entry used by hmmc_tpu.ops.attention. Arbitrary additive masks fall
+    back to the XLA path; mask=None (ViT, temporal transformer) and
+    causal=True (CLIP text) take the fused kernel."""
+    if mask is not None:
+        from hmmc_tpu.ops.attention import dot_product_attention
+
+        return dot_product_attention(q, k, v, mask)
+    return fused_attention(q, k, v, causal)
