@@ -36,7 +36,7 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--task", type=str, default="retrieval",
                    choices=["retrieval_VT", "retrieval"])
     p.add_argument("--dataset", type=str, default="bird",
-                   choices=["bird", "msrvtt", "vatex", "msvd"])
+                   choices=["bird", "msrvtt", "vatex", "msvd", "lsmdc"])
     p.add_argument("--num_thread_reader", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--text_lr", type=float, default=1e-5)

@@ -125,6 +125,25 @@ def bird_train(task: TaskConfig, tokenizer):
     return _loader(ds, task, train=True), ds
 
 
+def rawvideo_split(cls_name: str, subset: str, train: bool):
+    """MSVD / LSMDC raw-video factories — wired here even though the
+    reference leaves them unregistered (dataloader.py:172-177 gap)."""
+    def factory(task: TaskConfig, tokenizer):
+        from hmmc_tpu.data.datasets_rawvideo import LsmdcDataset, MsvdDataset
+
+        cls = {"msvd": MsvdDataset, "lsmdc": LsmdcDataset}[cls_name]
+        base = os.path.join(task.data_dir or ".", cls_name)
+        ds = cls(data_path=base,
+                 features_path=os.path.join(base, "videos"), subset=subset,
+                 tokenizer=tokenizer, max_words=task.max_words,
+                 max_frames=task.max_frames,
+                 resolution=task.image_resolution or 224,
+                 language=task.language)
+        return _loader(ds, task, train=train), ds
+
+    return factory
+
+
 DATALOADER_DICT: Dict[str, Dict[str, Callable]] = {
     "msrvtt": {"train": msrvtt_train, "test": msrvtt_test},
     "vatex": {"pretrain": vatex_pretrain,
@@ -132,4 +151,10 @@ DATALOADER_DICT: Dict[str, Dict[str, Callable]] = {
               "val": vatex_split("val", False),
               "test": vatex_split("test", False)},
     "bird": {"pretrain": bird_pretrain, "train": bird_train},
+    "msvd": {"train": rawvideo_split("msvd", "train", True),
+             "val": rawvideo_split("msvd", "val", False),
+             "test": rawvideo_split("msvd", "test", False)},
+    "lsmdc": {"train": rawvideo_split("lsmdc", "train", True),
+              "val": rawvideo_split("lsmdc", "val", False),
+              "test": rawvideo_split("lsmdc", "test", False)},
 }
