@@ -94,8 +94,11 @@ def main():
     except Exception:
         pass
 
+    # batch 16 fits the 16GB v5e HBM (batch 32 needs ~20GB of temps and
+    # fails remote compile); larger batches with remat measured SLOWER
+    # (178 clips/s @32 vs 202 @16 — remat recompute outweighs utilization)
     clips_per_sec = None
-    for batch_size in (64, 16):
+    for batch_size in (16, 8):
         try:
             clips_per_sec = run(batch_size)
             break
