@@ -49,6 +49,10 @@ class CrossConfig:
     # finetune loss weights (modeling.py:703-709)
     weight_VTM_finetune: float = 0.85
     weight_FTM_finetune: float = 0.15
+    # retrieval_VT title mixing weight. The reference reads an UNDEFINED
+    # self.weight_title (modeling.py:773, main_task_retrieval.py:517 —
+    # latent crash, SURVEY §7); here it is an explicit config field.
+    weight_title: float = 0.5
     # CLIP backbone selection
     pretrained_clip_name: str = "ViT-B/32"
     # kept for config-file compat; unused (legacy co-attention model)

@@ -331,14 +331,62 @@ class BirdPretrainDataset:
                 "title_ids": title_ids, "title_mask": title_mask}
 
 
+class BirdValDataset:
+    """CHVTT eval: one (query, first positive video) pair per item
+    (dataload_bird_val, dataloader_bird.py:434-589); emits the title too
+    for the retrieval_VT task."""
+
+    multi_sentence_per_video = False
+
+    def __init__(self, source: FrameSource, json_path: str, tokenizer,
+                 language: str = "chinese", max_frames: int = 12,
+                 frame_sample_len: str = "fix", include_title: bool = False):
+        self.datalist = read_json_line(json_path)
+        self.source = source
+        self.tokenizer = tokenizer
+        self.language = language
+        self.max_frames = max_frames
+        self.frame_sample_len = frame_sample_len
+        self.include_title = include_title
+
+    def __len__(self):
+        return len(self.datalist)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.datalist[idx]
+        pos = item["videolist"][0]
+        if self.frame_sample_len == "dynamic":
+            want = min(max(int(pos["duration"] * 0.5), 3), self.max_frames)
+        else:
+            want = self.max_frames
+        video, nframes = _get_video(
+            self.source, pos["docid"], want, self.max_frames, "uniform",
+            None)
+        zh = self.language == "chinese"
+        query = item["query"] if zh else item["query_eng"]
+        ids, mask = encode_text(self.tokenizer, query, QUERY_MAX_WORDS,
+                                self.language)
+        out = {"query_ids": ids, "query_mask": mask, "video": video,
+               "nframes": np.int32(nframes), "idx": np.int32(idx)}
+        if self.include_title:
+            title = pos["title"] if zh else pos["title_eng"]
+            tids, tmask = encode_text(self.tokenizer, title,
+                                      TITLE_MAX_WORDS, self.language)
+            out["title_ids"], out["title_mask"] = tids, tmask
+        return out
+
+
 class BirdTrainDataset:
     """CHVTT fine-tune: (query, video) pairs unfolded from the query list;
-    dynamic frames use duration*0.5 here (dataloader_bird.py:405-411)."""
+    dynamic frames use duration*0.5 here (dataloader_bird.py:405-411).
+    ``include_title`` adds the positive title text (retrieval_VT)."""
 
     def __init__(self, source: FrameSource, json_path: str, tokenizer,
                  language: str = "chinese", max_frames: int = 12,
                  frame_sample: str = "random",
-                 frame_sample_len: str = "fix"):
+                 frame_sample_len: str = "fix",
+                 include_title: bool = False):
+        self.include_title = include_title
         self.datalist = flat_query_list(read_json_line(json_path))
         self.source = source
         self.tokenizer = tokenizer
@@ -360,9 +408,15 @@ class BirdTrainDataset:
         video, nframes = _get_video(
             self.source, item["docid"], want, self.max_frames,
             self.frame_sample, self._rng)
-        query = item["query"] if self.language == "chinese" else (
-            item["query_eng"])
+        zh = self.language == "chinese"
+        query = item["query"] if zh else item["query_eng"]
         ids, mask = encode_text(self.tokenizer, query, QUERY_MAX_WORDS,
                                 self.language)
-        return {"query_ids": ids, "query_mask": mask, "video": video,
-                "nframes": np.int32(nframes), "idx": np.int32(idx)}
+        out = {"query_ids": ids, "query_mask": mask, "video": video,
+               "nframes": np.int32(nframes), "idx": np.int32(idx)}
+        if self.include_title:
+            title = item["title"] if zh else item["title_eng"]
+            tids, tmask = encode_text(self.tokenizer, title,
+                                      TITLE_MAX_WORDS, self.language)
+            out["title_ids"], out["title_mask"] = tids, tmask
+        return out

@@ -24,8 +24,8 @@ from typing import Callable, Dict, Tuple
 
 from hmmc_tpu.config import TaskConfig
 from hmmc_tpu.data.datasets import (
-    BirdPretrainDataset, BirdTrainDataset, FrameSource, MsrvttEvalDataset,
-    MsrvttTrainDataset, VatexDataset)
+    BirdPretrainDataset, BirdTrainDataset, BirdValDataset, FrameSource,
+    MsrvttEvalDataset, MsrvttTrainDataset, VatexDataset)
 from hmmc_tpu.data.loader import BatchLoader
 
 
@@ -121,8 +121,24 @@ def bird_train(task: TaskConfig, tokenizer):
         json_path=os.path.join(base, "query.json"), tokenizer=tokenizer,
         language=task.language, max_frames=task.max_frames,
         frame_sample=task.frame_sample,
-        frame_sample_len=task.frame_sample_len)
+        frame_sample_len=task.frame_sample_len,
+        include_title=task.task == "retrieval_VT")
     return _loader(ds, task, train=True), ds
+
+
+def bird_val(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "bird")
+    json_path = os.path.join(base, "val.json")
+    if not os.path.isfile(json_path):
+        json_path = os.path.join(base, "query.json")
+    ds = BirdValDataset(
+        _source(task, "bird", "eval", frames_per_video=48,
+                key_prefix="Video"),
+        json_path=json_path, tokenizer=tokenizer, language=task.language,
+        max_frames=task.max_frames,
+        frame_sample_len=task.frame_sample_len,
+        include_title=task.task == "retrieval_VT")
+    return _loader(ds, task, train=False), ds
 
 
 def rawvideo_split(cls_name: str, subset: str, train: bool):
@@ -150,7 +166,8 @@ DATALOADER_DICT: Dict[str, Dict[str, Callable]] = {
               "train": vatex_split("train", True),
               "val": vatex_split("val", False),
               "test": vatex_split("test", False)},
-    "bird": {"pretrain": bird_pretrain, "train": bird_train},
+    "bird": {"pretrain": bird_pretrain, "train": bird_train,
+             "val": bird_val, "test": bird_val},
     "msvd": {"train": rawvideo_split("msvd", "train", True),
              "val": rawvideo_split("msvd", "val", False),
              "test": rawvideo_split("msvd", "test", False)},

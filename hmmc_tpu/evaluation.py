@@ -41,10 +41,12 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
 
 
 class Evaluator:
-    def __init__(self, model, task: TaskConfig, query_block: int = 512):
+    def __init__(self, model, task: TaskConfig, query_block: int = 512,
+                 weight_title: float = 0.5):
         self.model = model
         self.task = task
         self.query_block = query_block
+        self.weight_title = weight_title
 
         def encode_text(params, ids, mask):
             return model.apply({"params": params}, ids, mask,
@@ -78,8 +80,9 @@ class Evaluator:
     def cache_features(self, params, loader, dataset):
         multi = bool(getattr(dataset, "multi_sentence_per_video", False))
         cut_off = ([c - 1 for c in dataset.cut_off_points] if multi else [])
+        is_vt = self.task.task == "retrieval_VT"
 
-        q_list, v_list, f_list = [], [], []
+        q_list, v_list, f_list, t_list = [], [], [], []
         total_video = 0
         batch_size = loader.batch_size
         for batch in loader:
@@ -88,6 +91,11 @@ class Evaluator:
             n = batch["query_ids"].shape[0]
             q = np.asarray(self._encode_text(params, ids, mask))[:n]
             q_list.append(q)
+            if is_vt and "title_ids" in batch:
+                tids = _pad_to(batch["title_ids"], batch_size)
+                tmask = _pad_to(batch["title_mask"], batch_size)
+                t = np.asarray(self._encode_text(params, tids, tmask))[:n]
+                t_list.append(t)
             if multi:
                 s_, e_ = total_video, total_video + n
                 keep = [i - s_ for i in cut_off if s_ <= i < e_]
@@ -107,10 +115,11 @@ class Evaluator:
         q = np.concatenate(q_list, axis=0)
         v = np.concatenate(v_list, axis=0)
         f = np.concatenate(f_list, axis=0)
-        return q, v, f, multi, cut_off
+        t = np.concatenate(t_list, axis=0) if t_list else None
+        return q, v, f, t, multi, cut_off
 
     def similarity(self, params, q: np.ndarray, v: np.ndarray,
-                   f: np.ndarray) -> np.ndarray:
+                   f: np.ndarray, t=None) -> np.ndarray:
         scale = jnp.minimum(
             jnp.exp(params["text_encoder"]["logit_scale"]), 100.0)
         v_dev = jnp.asarray(v)
@@ -129,12 +138,20 @@ class Evaluator:
         sim = np.concatenate(blocks, axis=0)
         if self.task.use_frame_fea:
             sim = sim + np.concatenate(frame_blocks, axis=0)
+        if t is not None:
+            # retrieval_VT: mix the query-vs-title similarity
+            # (main_task_retrieval.py:516-518; weight_title is a config
+            # field here, undefined in the reference)
+            qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+            tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
+            sim_title = float(np.asarray(scale)) * (qn @ tn.T)
+            sim = sim + self.weight_title * sim_title
         return sim
 
     def run(self, params, loader, dataset,
             log: Optional[logging.Logger] = None) -> Dict[str, float]:
-        q, v, f, multi, cut_off = self.cache_features(params, loader,
-                                                      dataset)
+        q, v, f, t, multi, cut_off = self.cache_features(params, loader,
+                                                         dataset)
         logger.info("eval features: %d queries, %d videos", len(q), len(v))
-        sim = self.similarity(params, q, v, f)
+        sim = self.similarity(params, q, v, f, t)
         return logging_rank(sim, multi, cut_off, log or logger)

@@ -30,7 +30,8 @@ from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
 from hmmc_tpu.train import orbax_io
 from hmmc_tpu.train.optimization import build_optimizer
 from hmmc_tpu.train.trainer import (
-    FinetuneState, PretrainState, make_finetune_step, make_pretrain_step)
+    FinetuneState, PretrainState, make_finetune_step, make_finetune_vt_step,
+    make_pretrain_step)
 
 
 def _prepare_finetune_batch(batch: Dict) -> Dict:
@@ -38,9 +39,13 @@ def _prepare_finetune_batch(batch: Dict) -> Dict:
     resolution so only normalization remains (device-side)."""
     video = image_ops.normalize(image_ops.to_float(
         jnp.asarray(batch["video"])))
-    return {"query_ids": jnp.asarray(batch["query_ids"]),
-            "query_mask": jnp.asarray(batch["query_mask"]),
-            "video": video}
+    out = {"query_ids": jnp.asarray(batch["query_ids"]),
+           "query_mask": jnp.asarray(batch["query_mask"]),
+           "video": video}
+    if "title_ids" in batch:  # retrieval_VT
+        out["title_ids"] = jnp.asarray(batch["title_ids"])
+        out["title_mask"] = jnp.asarray(batch["title_mask"])
+    return out
 
 
 def _prepare_pretrain_batch(batch: Dict, rng, out: int = 224) -> Dict:
@@ -84,7 +89,7 @@ def run_eval(args, log=None) -> Dict[str, float]:
         clip_model_path=args.clip_model, init_model_path=task.init_model)
     split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
     loader, dataset = DATALOADER_DICT[task.dataset][split](task, tokenizer)
-    ev = Evaluator(model, task)
+    ev = Evaluator(model, task, weight_title=cross.weight_title)
     metrics = ev.run(variables["params"], loader, dataset, log)
     return metrics
 
@@ -113,9 +118,13 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         weight_decay=task.weight_decay,
         warmup_proportion=task.warmup_proportion, t_total=t_total)
     state = FinetuneState.create(params, tx)
-    step_fn = make_finetune_step(
-        model, tx, cross, use_frame_fea=task.use_frame_fea,
-        n_accum=task.gradient_accumulation_steps)
+    if task.task == "retrieval_VT":
+        step_fn = make_finetune_vt_step(
+            model, tx, cross, n_accum=task.gradient_accumulation_steps)
+    else:
+        step_fn = make_finetune_step(
+            model, tx, cross, use_frame_fea=task.use_frame_fea,
+            n_accum=task.gradient_accumulation_steps)
 
     mesh = make_mesh(MeshSpec(dp=task.dp_size))
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
@@ -127,7 +136,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             start_epoch = latest
             log.info("resumed epoch %d from %s", latest, ckpt_dir)
 
-    evaluator = Evaluator(model, task)
+    evaluator = Evaluator(model, task, weight_title=cross.weight_title)
     best_r1, best_metrics = -1.0, {}
     global_step = int(state.step)
     for epoch in range(start_epoch, task.epochs):
@@ -235,6 +244,19 @@ def run_pretrain(args, log=None) -> None:
                 os.path.join(task.output_dir,
                              f"pytorch_model.bin.{epoch}"),
                 state.params, language=task.language)
+        # the reference pretrain ALWAYS evals on the vatex (zh) / msrvtt
+        # (en) test set regardless of --dataset (main_pretrain.py:512-515);
+        # here it runs when that eval data is present
+        eval_ds_name = "vatex" if task.language == "chinese" else "msrvtt"
+        try:
+            eval_loader, eval_dataset = DATALOADER_DICT[eval_ds_name][
+                "test"](task.replace(dataset=eval_ds_name), tokenizer)
+            ev = Evaluator(model, task)
+            metrics = ev.run(state.params, eval_loader, eval_dataset, log)
+            writer.scalar("R1", metrics["R1"], epoch)
+        except FileNotFoundError as e:
+            log.info("skipping pretrain eval (%s data not found: %s)",
+                     eval_ds_name, e)
     writer.close()
 
 

@@ -150,6 +150,50 @@ def make_finetune_step(
     return jax.jit(step, donate_argnums=0)
 
 
+def make_finetune_vt_step(
+    model,
+    tx: optax.GradientTransformation,
+    cross_config: CrossConfig,
+    n_accum: int = 1,
+) -> Callable:
+    """retrieval_VT training step (BirdModel_VT.forward,
+    modeling.py:744-785): the video branch is commented out in the
+    reference; the active loss is weight_title * symmetric CrossEn on the
+    query-vs-title sim matrix. The reference reads the undefined
+    ``self.weight_title`` there — here it comes from CrossConfig.
+
+    batch keys: query_ids/query_mask, title_ids/title_mask, video."""
+    w_title = cross_config.weight_title
+
+    def loss_fn(params, batch):
+        var = {"params": params}
+        q = model.apply(var, batch["query_ids"], batch["query_mask"],
+                        method="encode_text")
+        t = model.apply(var, batch["title_ids"], batch["title_mask"],
+                        method="encode_text")
+        # the video tower still runs (its params stay trained/aligned with
+        # checkpoints even though the active loss is text-text)
+        v, _f = model.apply(var, batch["video"], method="encode_video")
+        del v
+        scale = jnp.minimum(
+            jnp.exp(jax.lax.stop_gradient(
+                params["text_encoder"]["logit_scale"])), 100.0)
+        sim_title = losses.loose_similarity(q, t, scale)
+        sim_loss_title = (losses.cross_en(sim_title)
+                          + losses.cross_en(sim_title.T))
+        loss = w_title * sim_loss_title
+        return loss, {"loss": loss, "sim_loss_title": sim_loss_title}
+
+    def step(state: FinetuneState, batch: Dict) -> Tuple[FinetuneState, Dict]:
+        grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, opt_state=opt_state,
+                              step=state.step + 1), aux)
+
+    return jax.jit(step, donate_argnums=0)
+
+
 # ---------------------------------------------------------------------------
 # pretrain step (BirdPretrainModel + MoCo)
 # ---------------------------------------------------------------------------

@@ -159,3 +159,16 @@ def test_run_params(data_dir, cross_json, tmp_path):
                  ["--do_params", "--dataset", "msrvtt"])
     out = run_params(args)
     assert out["params"] > 0
+
+
+def test_run_finetune_vt_bird(data_dir, cross_json, tmp_path):
+    """retrieval_VT: query-title loss + title-mixed eval (the reference's
+    VT path crashes on undefined weight_title; ours is configured)."""
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "vt")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "bird",
+                  "--task", "retrieval_VT"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
