@@ -1,22 +1,13 @@
-"""HMMC-TPU: a TPU-native JAX framework for hierarchical text-video retrieval.
+"""HMMC-TPU: TPU-native bilingual text-video retrieval framework.
 
-A from-scratch rebuild of the capabilities of cheetah003/HMMC (TIP 2023,
-"End-to-end Pre-training with Hierarchical Matching and Momentum Contrast for
-Text-Video Retrieval"), designed TPU-first:
-
-- flax/linen encoders (CLIP ViT visual tower, CLIP/RoBERTa text towers,
-  temporal transformer) running in bf16 with fp32 LayerNorm,
-- one jitted train step over a ``jax.sharding.Mesh`` (data axis today, room
-  for a model axis), global-batch contrastive losses where XLA inserts the
-  ICI collectives,
-- MoCo momentum towers + negative queues as functional state,
-- Pallas kernels for the hot ops (fused attention, image normalization,
-  frame top-k similarity),
-- a host input pipeline that ships uint8 frames to the device and does the
-  rest of the preprocessing there.
-
-Reference behavior citations throughout the code point at /root/reference
-(file:line) so parity can be audited; no reference code is copied.
+See README.md for the architecture map and SURVEY.md for the reference
+analysis this build follows.
 """
 
+from hmmc_tpu.config import (ClipArch, CrossConfig, TaskConfig,
+                             load_cross_config)
+
 __version__ = "0.1.0"
+
+__all__ = ["ClipArch", "CrossConfig", "TaskConfig", "load_cross_config",
+           "__version__"]

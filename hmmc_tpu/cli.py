@@ -90,6 +90,12 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--resume", action="store_true",
                    help="resume full state from output_dir (TPU extra; the "
                         "reference restarts schedules)")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler trace of the first training "
+                        "steps into this directory (TensorBoard-viewable)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "TPU slices (replaces torch.distributed.launch)")
     return p.parse_args(argv)
 
 

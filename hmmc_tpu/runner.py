@@ -137,6 +137,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             log.info("resumed epoch %d from %s", latest, ckpt_dir)
 
     evaluator = Evaluator(model, task, weight_title=cross.weight_title)
+    profiler = _Profiler(getattr(args, "profile_dir", None))
     best_r1, best_metrics = -1.0, {}
     global_step = int(state.step)
     for epoch in range(start_epoch, task.epochs):
@@ -144,6 +145,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         t_data, t_step = 0.0, 0.0
         t0 = time.time()
         for batch in train_loader:
+            profiler.step()
             dev_batch = shard_batch(mesh, _prepare_finetune_batch(batch))
             t1 = time.time()
             state, metrics = step_fn(state, dev_batch)
@@ -170,6 +172,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         if metrics["R1"] > best_r1:
             best_r1, best_metrics = metrics["R1"], metrics
             log.info("new best R@1 %.1f at epoch %d", best_r1, epoch)
+    profiler.close()
     writer.close()
     log.info("best t2v R@1: %.1f", best_r1)
     return best_metrics
@@ -288,7 +291,45 @@ def run_params(args, log=None) -> Dict[str, float]:
     return {"params": n_params, "flops": flops}
 
 
+class _Profiler:
+    """Traces the first ``steps`` train steps of a run into
+    ``profile_dir`` (replaces the reference's manual wall-clock timers,
+    main_task_retrieval.py:258-288; viewable in TensorBoard/XProf)."""
+
+    def __init__(self, profile_dir: Optional[str], steps: int = 10):
+        self.dir = profile_dir
+        self.steps = steps
+        self._seen = 0
+        self._active = False
+
+    def step(self) -> None:
+        if not self.dir:
+            return
+        if self._seen == 0:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        self._seen += 1
+        if self._active and self._seen > self.steps:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+def maybe_init_multihost(args) -> None:
+    """jax.distributed.initialize for multi-host slices (--multihost). On a
+    Cloud TPU pod the coordinator/process env comes from the TPU metadata;
+    this replaces the reference's NCCL init_process_group at import
+    (main_pretrain.py:28)."""
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+
+
 def main(args) -> None:
+    maybe_init_multihost(args)
     if args.do_params:
         run_params(args)
     if args.do_pretrain:
