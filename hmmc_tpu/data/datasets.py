@@ -376,6 +376,41 @@ class BirdValDataset:
         return out
 
 
+class BirdDebugTestDataset(BirdValDataset):
+    """Debug split capped at 1000 samples with duration*0.3 dynamic frames
+    (dataload_bird_debug_test, dataloader_bird.py:592-760; registered as
+    'debug_test' like the reference's DATALOADER_DICT entry)."""
+
+    CAP = 1000
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.datalist = self.datalist[:self.CAP]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.datalist[idx]
+        pos = item["videolist"][0]
+        if self.frame_sample_len == "dynamic":
+            want = dynamic_frame_count(pos["duration"], self.max_frames)
+        else:
+            want = self.max_frames
+        video, nframes = _get_video(
+            self.source, pos["docid"], want, self.max_frames, "uniform",
+            None)
+        zh = self.language == "chinese"
+        query = item["query"] if zh else item["query_eng"]
+        ids, mask = encode_text(self.tokenizer, query, QUERY_MAX_WORDS,
+                                self.language)
+        out = {"query_ids": ids, "query_mask": mask, "video": video,
+               "nframes": np.int32(nframes), "idx": np.int32(idx)}
+        if self.include_title:
+            title = pos["title"] if zh else pos["title_eng"]
+            tids, tmask = encode_text(self.tokenizer, title,
+                                      TITLE_MAX_WORDS, self.language)
+            out["title_ids"], out["title_mask"] = tids, tmask
+        return out
+
+
 class BirdTrainDataset:
     """CHVTT fine-tune: (query, video) pairs unfolded from the query list;
     dynamic frames use duration*0.5 here (dataloader_bird.py:405-411).

@@ -24,8 +24,9 @@ from typing import Callable, Dict, Tuple
 
 from hmmc_tpu.config import TaskConfig
 from hmmc_tpu.data.datasets import (
-    BirdPretrainDataset, BirdTrainDataset, BirdValDataset, FrameSource,
-    MsrvttEvalDataset, MsrvttTrainDataset, VatexDataset)
+    BirdDebugTestDataset, BirdPretrainDataset, BirdTrainDataset,
+    BirdValDataset, FrameSource, MsrvttEvalDataset, MsrvttTrainDataset,
+    VatexDataset)
 from hmmc_tpu.data.loader import BatchLoader
 
 
@@ -141,6 +142,18 @@ def bird_val(task: TaskConfig, tokenizer):
     return _loader(ds, task, train=False), ds
 
 
+def bird_debug_test(task: TaskConfig, tokenizer):
+    base = os.path.join(task.data_dir or ".", "bird")
+    ds = BirdDebugTestDataset(
+        _source(task, "bird", "eval", frames_per_video=48,
+                key_prefix="Video"),
+        json_path=os.path.join(base, "query.json"), tokenizer=tokenizer,
+        language=task.language, max_frames=task.max_frames,
+        frame_sample_len=task.frame_sample_len,
+        include_title=task.task == "retrieval_VT")
+    return _loader(ds, task, train=False), ds
+
+
 def rawvideo_split(cls_name: str, subset: str, train: bool):
     """MSVD / LSMDC raw-video factories — wired here even though the
     reference leaves them unregistered (dataloader.py:172-177 gap)."""
@@ -167,7 +180,8 @@ DATALOADER_DICT: Dict[str, Dict[str, Callable]] = {
               "val": vatex_split("val", False),
               "test": vatex_split("test", False)},
     "bird": {"pretrain": bird_pretrain, "train": bird_train,
-             "val": bird_val, "test": bird_val},
+             "val": bird_val, "test": bird_val,
+             "debug_test": bird_debug_test},
     "msvd": {"train": rawvideo_split("msvd", "train", True),
              "val": rawvideo_split("msvd", "val", False),
              "test": rawvideo_split("msvd", "test", False)},
