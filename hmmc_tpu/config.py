@@ -90,6 +90,21 @@ CLIP_ARCH = {
         vision_patch_size=14, context_length=77, vocab_size=49408,
         transformer_width=768, transformer_heads=12, transformer_layers=12,
     ),
+    # ResNet variants (module_clip.py:21-25; tuple vision_layers selects
+    # the ModifiedResNet tower, mirroring the reference's shape-driven
+    # build, module_clip.py:536-549)
+    "RN50": dict(
+        embed_dim=1024, image_resolution=224, vision_layers=(3, 4, 6, 3),
+        vision_width=64, vision_patch_size=0, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ),
+    "RN101": dict(
+        embed_dim=512, image_resolution=224, vision_layers=(3, 4, 23, 3),
+        vision_width=64, vision_patch_size=0, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ),
 }
 
 
@@ -97,7 +112,7 @@ CLIP_ARCH = {
 class ClipArch:
     embed_dim: int
     image_resolution: int
-    vision_layers: int
+    vision_layers: object  # int (ViT depth) | tuple (ResNet stage blocks)
     vision_width: int
     vision_patch_size: int
     context_length: int
@@ -108,7 +123,14 @@ class ClipArch:
     linear_patch: str = "2d"  # '2d' | '3d' (module_clip.py:291-295)
 
     @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
+
+    @property
     def vision_heads(self) -> int:
+        if self.is_resnet:
+            # attention-pool heads = embed_dim(width*32) / 64
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property

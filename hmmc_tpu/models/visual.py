@@ -52,13 +52,25 @@ class VisualEncoder(nn.Module):
         b, f, h, w, c = video.shape
         cc = self.cross_config
 
-        vit = VisionTransformer(
-            self.arch, dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, remat=self.remat, name="visual")
-        if self.arch.linear_patch == "3d":
-            per_frame = vit(video)  # tube conv handles the frame axis
+        if self.arch.is_resnet:
+            from hmmc_tpu.models.resnet import ModifiedResNet
+
+            tower = ModifiedResNet(
+                layers=tuple(self.arch.vision_layers),
+                output_dim=self.arch.embed_dim, heads=self.arch.vision_heads,
+                input_resolution=self.arch.image_resolution,
+                width=self.arch.vision_width, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="visual")
+            per_frame = tower(video.reshape(b * f, h, w, c)).astype(
+                jnp.float32)
         else:
-            per_frame = vit(video.reshape(b * f, h, w, c))
+            vit = VisionTransformer(
+                self.arch, dtype=self.dtype, param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas, remat=self.remat, name="visual")
+            if self.arch.linear_patch == "3d":
+                per_frame = vit(video)  # tube conv handles the frame axis
+            else:
+                per_frame = vit(video.reshape(b * f, h, w, c))
         hidden = per_frame.reshape(b, f, per_frame.shape[-1])
         frame_output = hidden
 
