@@ -117,7 +117,7 @@ def test_vatex_multisentence_pipeline(store, tmp_path, tokenizer):
         jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
         jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
     ev = Evaluator(model, task, query_block=4)
-    q, v, f, multi, cut_off = ev.cache_features(params, loader, ds)
+    q, v, f, t, multi, cut_off = ev.cache_features(params, loader, ds)
     assert multi
     assert q.shape[0] == len(ds)
     assert v.shape[0] == N_VIDEOS          # only cut-off videos encoded
