@@ -86,6 +86,9 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--compute_dtype", default="bfloat16", type=str,
                    choices=["bfloat16", "float32"])
     p.add_argument("--dp_size", type=int, default=0)
+    p.add_argument("--tp_size", type=int, default=1,
+                   help="tensor-parallel shards (Megatron-style placement "
+                        "over the mesh's model axis)")
     p.add_argument("--use_pallas_attention", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="resume full state from output_dir (TPU extra; the "

@@ -195,6 +195,8 @@ class TaskConfig:
     compute_dtype: str = "bfloat16"
     # device mesh: number of data-parallel shards (0 = all local devices)
     dp_size: int = 0
+    # tensor-parallel shards over the reserved `model` axis
+    tp_size: int = 1
     # use Pallas fused attention where profitable (falls back to XLA attn)
     use_pallas_attention: bool = False
 

@@ -1,5 +1,6 @@
 from hmmc_tpu.parallel.mesh import (
-    MeshSpec, batch_sharding, make_mesh, replicated, shard_batch)
+    MeshSpec, batch_sharding, make_mesh, param_shardings, replicated,
+    shard_batch, shard_params)
 
 __all__ = ["MeshSpec", "make_mesh", "batch_sharding", "replicated",
-           "shard_batch"]
+           "shard_batch", "param_shardings", "shard_params"]

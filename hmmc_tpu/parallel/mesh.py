@@ -64,3 +64,55 @@ def shard_batch(mesh: Mesh, batch):
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel parameter shardings (the `model` axis)
+# ---------------------------------------------------------------------------
+
+def _param_spec(path_names, shape) -> P:
+    """Megatron-style placement for transformer blocks: the qkv/up
+    projections split over their OUTPUT feature dim, the out/down
+    projections over their INPUT dim, so each block needs one psum on its
+    output. Everything else (embeddings, LayerNorms, biases of row-parallel
+    layers) is replicated — fine at ViT-B scale, where TP exists for
+    headroom rather than necessity (SURVEY §2.9)."""
+    leaf = path_names[-1]
+    module = path_names[-2] if len(path_names) > 1 else ""
+    nd = len(shape)
+    # scan-stacked blocks have a leading [layers] axis -> specs shift by 1
+    lead = (None,) * (nd - 2)
+    if leaf == "in_proj_kernel":                       # [..., D, 3D]
+        return P(*lead, None, MODEL_AXIS)
+    if leaf == "in_proj_bias" and nd >= 1:             # [..., 3D]
+        return P(*((None,) * (nd - 1)), MODEL_AXIS)
+    if leaf == "out_kernel":                           # [..., D, D] row-par
+        return P(*lead, MODEL_AXIS, None)
+    if leaf == "kernel" and module == "c_fc":          # [..., D, 4D]
+        return P(*lead, None, MODEL_AXIS)
+    if leaf == "bias" and module == "c_fc":
+        return P(*((None,) * (nd - 1)), MODEL_AXIS)
+    if leaf == "kernel" and module == "c_proj":        # [..., 4D, D]
+        return P(*lead, MODEL_AXIS, None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings for the params: TP placement when the mesh
+    has a model axis > 1, fully replicated otherwise."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec(path, leaf):
+        if tp <= 1:
+            return NamedSharding(mesh, P())
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        return NamedSharding(mesh, _param_spec(names, np.shape(leaf)))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """device_put the param tree with TP/replicated placement."""
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

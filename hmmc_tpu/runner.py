@@ -26,7 +26,7 @@ from hmmc_tpu.data.registry import DATALOADER_DICT
 from hmmc_tpu.evaluation import Evaluator
 from hmmc_tpu.models.pretrain import MoCoQueues
 from hmmc_tpu.ops import image_ops
-from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch, shard_params
 from hmmc_tpu.train import orbax_io
 from hmmc_tpu.train.optimization import build_optimizer
 from hmmc_tpu.train.trainer import (
@@ -117,6 +117,9 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         params, lr=task.lr, text_lr=task.text_lr, coef_lr=task.coef_lr,
         weight_decay=task.weight_decay,
         warmup_proportion=task.warmup_proportion, t_total=t_total)
+    mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size))
+    if task.tp_size > 1:
+        params = shard_params(mesh, params)
     state = FinetuneState.create(params, tx)
     if task.task == "retrieval_VT":
         step_fn = make_finetune_vt_step(
@@ -126,7 +129,6 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             model, tx, cross, use_frame_fea=task.use_frame_fea,
             n_accum=task.gradient_accumulation_steps)
 
-    mesh = make_mesh(MeshSpec(dp=task.dp_size))
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
     start_epoch = 0
     if getattr(args, "resume", False):

@@ -180,3 +180,31 @@ def test_mask_tokens_semantics():
     assert 0.7 < frac_mask < 0.9
     # unmasked positions unchanged
     np.testing.assert_array_equal(m[~sel], np.asarray(ids)[~sel])
+
+
+def test_finetune_step_tensor_parallel():
+    """dp=4 x tp=2 mesh: params TP-sharded (Megatron placement), batch
+    DP-sharded; one full step must compile and run."""
+    from hmmc_tpu.parallel import shard_params
+
+    rng = np.random.default_rng(7)
+    model = BirdModel(TINY, TINY_CROSS)
+    qids, qmask = _text_batch(rng, B, L)
+    video = rng.normal(size=(B, F, 32, 32, 3)).astype(np.float32)
+    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
+             "video": jnp.asarray(video)}
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
+    mesh = make_mesh(MeshSpec(dp=4, tp=2))
+    params = shard_params(mesh, params)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, TINY_CROSS)
+    batch = shard_batch(mesh, batch)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # a TP-sharded kernel really is split over the model axis
+    fc = state.params["visual_encoder"]["visual"]["transformer"][
+        "resblocks"]["block"]["c_fc"]["kernel"]
+    assert "model" in str(fc.sharding.spec)
