@@ -142,13 +142,17 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     profiler = _Profiler(getattr(args, "profile_dir", None))
     best_r1, best_metrics = -1.0, {}
     global_step = int(state.step)
+    from hmmc_tpu.data.loader import device_prefetch
+
+    def place(batch):
+        return shard_batch(mesh, _prepare_finetune_batch(batch))
+
     for epoch in range(start_epoch, task.epochs):
         train_loader.set_epoch(epoch)
         t_data, t_step = 0.0, 0.0
         t0 = time.time()
-        for batch in train_loader:
+        for dev_batch in device_prefetch(iter(train_loader), place):
             profiler.step()
-            dev_batch = shard_batch(mesh, _prepare_finetune_batch(batch))
             t1 = time.time()
             state, metrics = step_fn(state, dev_batch)
             t2 = time.time()
