@@ -93,6 +93,10 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--resume", action="store_true",
                    help="resume full state from output_dir (TPU extra; the "
                         "reference restarts schedules)")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint full state every N steps "
+                        "(restart-based failure recovery; 0 = per-epoch "
+                        "only like the reference)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of the first training "
                         "steps into this directory (TensorBoard-viewable)")

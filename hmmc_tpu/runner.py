@@ -79,6 +79,19 @@ def _task_with_resolution(args):
     return task, cross
 
 
+
+def _place_restored_state(mesh, state, tp_size: int = 1):
+    """Orbax restores arrays committed to a single device; re-place them on
+    the mesh (replicated; params TP-sharded when tp > 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    if tp_size > 1:
+        state = state.replace(params=shard_params(mesh, state.params))
+    return state
+
+
 def run_eval(args, log=None) -> Dict[str, float]:
     task, cross = _task_with_resolution(args)
     log = log or setup_logging(task.output_dir)
@@ -135,6 +148,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         latest = orbax_io.latest_step(ckpt_dir)
         if latest is not None:
             state = orbax_io.restore_state(ckpt_dir, state, latest)
+            state = _place_restored_state(mesh, state, task.tp_size)
             start_epoch = latest
             log.info("resumed epoch %d from %s", latest, ckpt_dir)
 
@@ -151,6 +165,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         train_loader.set_epoch(epoch)
         t_data, t_step = 0.0, 0.0
         t0 = time.time()
+        save_steps = getattr(args, "save_steps", 0)
         for dev_batch in device_prefetch(iter(train_loader), place):
             profiler.step()
             t1 = time.time()
@@ -159,6 +174,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             t_data += t1 - t0
             t_step += t2 - t1
             global_step += 1
+            if save_steps and global_step % save_steps == 0:
+                orbax_io.save_state(ckpt_dir, state, epoch + 1)
             if global_step % task.n_display == 0:
                 loss = float(metrics["loss"])
                 log.info(
@@ -219,6 +236,7 @@ def run_pretrain(args, log=None) -> None:
         latest = orbax_io.latest_step(ckpt_dir)
         if latest is not None:
             state = orbax_io.restore_state(ckpt_dir, state, latest)
+            state = _place_restored_state(mesh, state)
             start_epoch = latest
 
     rng = jax.random.PRNGKey(task.seed)

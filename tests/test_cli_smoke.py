@@ -172,3 +172,23 @@ def test_run_finetune_vt_bird(data_dir, cross_json, tmp_path):
                   "--task", "retrieval_VT"])
     metrics = run_finetune(args)
     assert np.isfinite(metrics["R1"])
+
+
+def test_resume_continues_from_checkpoint(data_dir, cross_json, tmp_path):
+    """--resume restores full state (params+optimizer+step) and skips
+    completed epochs — exact resume, unlike the reference's
+    schedule-restarting weight-only reload."""
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "res")
+    run_finetune(_args(data_dir, cross_json, out,
+                       ["--do_train", "--dataset", "msrvtt"]))
+    # second invocation with 2 epochs + --resume trains only epoch 2
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt", "--resume"])
+    args.epochs = 2
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    import glob
+    assert glob.glob(os.path.join(out, "ckpt", "2*")) or \
+        os.path.isdir(os.path.join(out, "ckpt", "2"))

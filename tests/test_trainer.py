@@ -208,3 +208,13 @@ def test_finetune_step_tensor_parallel():
     fc = state.params["visual_encoder"]["visual"]["transformer"][
         "resblocks"]["block"]["c_fc"]["kernel"]
     assert "model" in str(fc.sharding.spec)
+
+
+def test_pretrain_loss_descends():
+    state, step, batch = _pretrain_setup()
+    first = None
+    for i in range(6):
+        state, m = step(state, batch, jax.random.PRNGKey(100 + i))
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first  # same batch -> loss must drop
