@@ -239,20 +239,27 @@ def run_pretrain(args, log=None) -> None:
             state = _place_restored_state(mesh, state)
             start_epoch = latest
 
+    from hmmc_tpu.data.loader import device_prefetch
+
     rng = jax.random.PRNGKey(task.seed)
     global_step = int(state.step)
     for epoch in range(start_epoch, task.epochs):
         loader.set_epoch(epoch)
-        for batch in loader:
-            rng, r_aug, r_step = jax.random.split(rng, 3)
+
+        def place(batch):
+            nonlocal rng
+            rng, r_aug = jax.random.split(rng)
             if task.dataset == "vatex":
                 # pretrain over vatex uses the caption as both tag & title
                 # (dataloader_vatex_retrieval.py:248-249)
                 batch = dict(batch)
                 batch.setdefault("title_ids", batch.pop("query_ids"))
                 batch.setdefault("title_mask", batch.pop("query_mask"))
-            dev_batch = shard_batch(mesh, _prepare_pretrain_batch(
+            return shard_batch(mesh, _prepare_pretrain_batch(
                 batch, r_aug, out=task.image_resolution or 224))
+
+        for dev_batch in device_prefetch(iter(loader), place):
+            rng, r_step = jax.random.split(rng)
             state, metrics = step_fn(state, dev_batch, r_step)
             global_step += 1
             if global_step % task.n_display == 0:
@@ -352,8 +359,24 @@ def maybe_init_multihost(args) -> None:
         jax.distributed.initialize()
 
 
+def _enable_compile_cache(args) -> None:
+    """Persistent XLA compilation cache under output_dir (first compile of
+    the ViT-B train step is ~20-40s; repeat launches hit the cache)."""
+    out = getattr(args, "output_dir", None)
+    if out:
+        cache = os.path.join(out, ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+
+
 def main(args) -> None:
     maybe_init_multihost(args)
+    _enable_compile_cache(args)
     if args.do_params:
         run_params(args)
     if args.do_pretrain:
