@@ -90,6 +90,10 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                    help="tensor-parallel shards (Megatron-style placement "
                         "over the mesh's model axis)")
     p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--use_frame_mask", action="store_true",
+                   help="mask zero-padded frames in the temporal "
+                        "transformer (fixes a reference quirk; off = "
+                        "reference behavior)")
     p.add_argument("--resume", action="store_true",
                    help="resume full state from output_dir (TPU extra; the "
                         "reference restarts schedules)")

@@ -199,6 +199,10 @@ class TaskConfig:
     tp_size: int = 1
     # use Pallas fused attention where profitable (falls back to XLA attn)
     use_pallas_attention: bool = False
+    # knowingly-fixed reference quirk (flag-controlled): the reference's
+    # temporal attention mask is all-ones even over zero-padded frames
+    # (module_cross.py:201-203); True masks padded frames properly
+    use_frame_mask: bool = False
 
     def validate(self) -> None:
         if self.gradient_accumulation_steps < 1:

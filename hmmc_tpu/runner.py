@@ -42,6 +42,8 @@ def _prepare_finetune_batch(batch: Dict) -> Dict:
     out = {"query_ids": jnp.asarray(batch["query_ids"]),
            "query_mask": jnp.asarray(batch["query_mask"]),
            "video": video}
+    if "nframes" in batch:
+        out["nframes"] = jnp.asarray(batch["nframes"])
     if "title_ids" in batch:  # retrieval_VT
         out["title_ids"] = jnp.asarray(batch["title_ids"])
         out["title_mask"] = jnp.asarray(batch["title_mask"])
@@ -140,7 +142,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     else:
         step_fn = make_finetune_step(
             model, tx, cross, use_frame_fea=task.use_frame_fea,
-            n_accum=task.gradient_accumulation_steps)
+            n_accum=task.gradient_accumulation_steps,
+            use_frame_mask=task.use_frame_mask)
 
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
     start_epoch = 0

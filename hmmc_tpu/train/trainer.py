@@ -118,9 +118,12 @@ def make_finetune_step(
     cross_config: CrossConfig,
     use_frame_fea: bool = True,
     n_accum: int = 1,
+    use_frame_mask: bool = False,
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics). batch keys:
-    query_ids [B,L] int32, query_mask [B,L], video [B,F,H,W,3] float."""
+    query_ids [B,L] int32, query_mask [B,L], video [B,F,H,W,3] float,
+    optional nframes [B] (used when use_frame_mask — the flag-controlled
+    fix of the reference's all-ones temporal mask quirk)."""
 
     w_vtm = cross_config.weight_VTM_finetune
     w_ftm = cross_config.weight_FTM_finetune
@@ -129,7 +132,13 @@ def make_finetune_step(
         var = {"params": params}
         q = model.apply(var, batch["query_ids"], batch["query_mask"],
                         method="encode_text")
-        v, f = model.apply(var, batch["video"], method="encode_video")
+        fmask = None
+        if use_frame_mask and "nframes" in batch:
+            n_f = batch["video"].shape[1]
+            fmask = (jnp.arange(n_f)[None, :]
+                     < batch["nframes"][:, None]).astype(jnp.int32)
+        v, f = model.apply(var, batch["video"], fmask,
+                           method="encode_video")
         scale = jnp.minimum(
             jnp.exp(jax.lax.stop_gradient(
                 params["text_encoder"]["logit_scale"])), 100.0)

@@ -218,3 +218,28 @@ def test_pretrain_loss_descends():
         if first is None:
             first = float(m["loss"])
     assert float(m["loss"]) < first  # same batch -> loss must drop
+
+
+def test_finetune_step_with_frame_mask():
+    """use_frame_mask: padded frames must not affect the loss path shape;
+    differs numerically from the unmasked (reference-quirk) path."""
+    rng = np.random.default_rng(9)
+    model = BirdModel(TINY, TINY_CROSS)
+    qids, qmask = _text_batch(rng, B, L)
+    video = rng.normal(size=(B, F, 32, 32, 3)).astype(np.float32)
+    nframes = np.full((B,), F - 2, np.int32)
+    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
+             "video": jnp.asarray(video), "nframes": jnp.asarray(nframes)}
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
+    s_masked = FinetuneState.create(
+        jax.tree_util.tree_map(jnp.copy, params), tx)
+    s_plain = FinetuneState.create(params, tx)
+    step_m = make_finetune_step(model, tx, TINY_CROSS, use_frame_mask=True)
+    step_p = make_finetune_step(model, tx, TINY_CROSS, use_frame_mask=False)
+    _, mm = step_m(s_masked, dict(batch))
+    _, mp = step_p(s_plain, dict(batch))
+    assert np.isfinite(float(mm["loss"]))
+    assert float(mm["loss"]) != float(mp["loss"])
