@@ -1,0 +1,88 @@
+"""End-to-end learning tests.
+
+1. DP invariance: the same batch through a dp=8 mesh and a dp=1 mesh must
+   give identical loss/metrics — the sharded-einsum global contrastive loss
+   is exactly the reference's gathered-matrix semantics, not an
+   approximation.
+2. Learnability: overfitting a tiny retrieval task must drive R@1 to 100%
+   — proving loss -> gradients -> optimizer -> eval metrics connect.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hmmc_tpu.config import ClipArch, CrossConfig
+from hmmc_tpu.losses import loose_similarity
+from hmmc_tpu.metrics import compute_metrics
+from hmmc_tpu.models.retrieval import BirdModel
+from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from hmmc_tpu.train.optimization import build_optimizer
+from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
+
+TINY = ClipArch(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=16, context_length=16, vocab_size=256,
+    transformer_width=32, transformer_heads=2, transformer_layers=2)
+TINY_CROSS = CrossConfig(
+    temporal_hidden_size=32, temporal_attention_heads=2,
+    temporal_hidden_layers=2, max_position_embeddings=8)
+
+B, F, L = 16, 2, 8
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(1, 200, size=(B, L)).astype(np.int32)
+    ids[:, -1] = 255
+    mask = np.ones((B, L), np.int32)
+    # videos correlated with text ids so the pairing is learnable
+    video = np.zeros((B, F, 32, 32, 3), np.float32)
+    for i in range(B):
+        v = rng.normal(size=(32, 32, 3)) * 0.1
+        v[(i * 2) % 32, :, :] += 2.0  # distinctive stripe per sample
+        video[i] = v[None]
+    return {"query_ids": jnp.asarray(ids), "query_mask": jnp.asarray(mask),
+            "video": jnp.asarray(video)}
+
+
+def _setup():
+    model = BirdModel(TINY, TINY_CROSS)
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    tx = build_optimizer(params, lr=2e-3, text_lr=2e-3, coef_lr=1.0,
+                         weight_decay=0.0, warmup_proportion=0.01,
+                         t_total=400, schedule="warmup_constant")
+    return model, batch, params, tx
+
+
+def test_dp_sharding_loss_invariance():
+    model, batch, params, tx = _setup()
+    step = make_finetune_step(model, tx, TINY_CROSS)
+    losses = {}
+    for dp in (1, 8):
+        mesh = make_mesh(MeshSpec(dp=dp))
+        state = FinetuneState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx)
+        _, m = step(state, shard_batch(mesh, dict(batch)))
+        losses[dp] = float(m["loss"])
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+
+
+def test_overfit_drives_r1_to_100():
+    model, batch, params, tx = _setup()
+    step = make_finetune_step(model, tx, TINY_CROSS, use_frame_fea=False)
+    state = FinetuneState.create(params, tx)
+    mesh = make_mesh(MeshSpec(dp=8))
+    dev_batch = shard_batch(mesh, dict(batch))
+    for _ in range(60):
+        state, m = step(state, dev_batch)
+
+    var = {"params": state.params}
+    q = model.apply(var, batch["query_ids"], batch["query_mask"],
+                    method="encode_text")
+    v, _ = model.apply(var, batch["video"], method="encode_video")
+    sim = np.asarray(loose_similarity(q, v, jnp.float32(100.0)))
+    metrics = compute_metrics(sim)
+    assert metrics["R1"] == 100.0, (metrics, float(m["loss"]))
