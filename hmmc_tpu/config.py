@@ -34,8 +34,11 @@ class CrossConfig:
     temporal_hidden_size: int = 512
     temporal_attention_heads: int = 8
     temporal_hidden_layers: int = 4
-    # chinese text tower projection input width (roberta-base hidden)
+    # chinese text tower (roberta-base geometry by default)
     chinese_hidden_size: int = 768
+    chinese_num_layers: int = 12
+    chinese_num_heads: int = 12
+    chinese_intermediate_size: int = 3072
     # MLM
     mlm_probability: float = 0.15
     # projector / predictor MLPs (MoCo pretrain heads)

@@ -191,9 +191,13 @@ class TextEncoder(nn.Module):
                     input_ids, return_hidden=True)
             pooled, hidden = out
         elif self.language == "chinese":
+            cc = self.cross_config
             hidden, pooled_raw = BertEncoder(
                 vocab_size=self.chinese_vocab_size,
-                hidden_size=self.cross_config.chinese_hidden_size,
+                hidden_size=cc.chinese_hidden_size,
+                num_layers=cc.chinese_num_layers,
+                num_heads=cc.chinese_num_heads,
+                intermediate_size=cc.chinese_intermediate_size,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="chinese_encoder")(input_ids, attention_mask)
             proj = Linear(

@@ -87,7 +87,9 @@ def cross_json(tmp_path_factory):
     p.write_text(json.dumps({
         "pretrained_clip_name": TINY_NAME, "temporal_hidden_size": 32,
         "temporal_attention_heads": 2, "temporal_hidden_layers": 2,
-        "max_position_embeddings": 8}))
+        "max_position_embeddings": 8, "chinese_hidden_size": 32,
+        "chinese_num_layers": 2, "chinese_num_heads": 2,
+        "chinese_intermediate_size": 64}))
     return str(p)
 
 
@@ -192,3 +194,43 @@ def test_resume_continues_from_checkpoint(data_dir, cross_json, tmp_path):
     import glob
     assert glob.glob(os.path.join(out, "ckpt", "2*")) or \
         os.path.isdir(os.path.join(out, "ckpt", "2"))
+
+
+@pytest.fixture(scope="module")
+def zh_vocab(tmp_path_factory):
+    """Synthetic Chinese WordPiece vocab for the BERT tower."""
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    toks += [chr(c) for c in range(0x4E00, 0x4E00 + 120)]  # CJK chars
+    toks += ["标", "签", "题", "查", "询", "0", "1", "2", "3", "4", "5",
+             "6", "7", "8", "9"]
+    seen = dict.fromkeys(toks)  # dedupe, keep order
+    p = tmp_path_factory.mktemp("zh") / "vocab.txt"
+    p.write_text("\n".join(seen))
+    return str(p)
+
+
+def test_run_pretrain_chinese(data_dir, cross_json, zh_vocab, tmp_path):
+    """Chinese path: WordPiece tokenizer + BERT text tower + projection +
+    MLM over the zh vocab."""
+    from hmmc_tpu.runner import run_pretrain
+
+    out = str(tmp_path / "zh")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_pretrain", "--dataset", "bird",
+                  "--contrast_num_negative", "16"])
+    args.language = "chinese"
+    args.pretrained_text = zh_vocab
+    run_pretrain(args)
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_run_finetune_chinese(data_dir, cross_json, zh_vocab, tmp_path):
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "zhft")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "bird"])
+    args.language = "chinese"
+    args.pretrained_text = zh_vocab
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
