@@ -15,12 +15,11 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import time
 from typing import Optional
 
 import numpy as np
 
-from hmmc_tpu.config import CrossConfig, TaskConfig, load_cross_config
+from hmmc_tpu.config import TaskConfig
 
 logger = logging.getLogger(__name__)
 

@@ -16,7 +16,6 @@ Also: :func:`lmdb_to_framepack` converts reference-produced LMDBs.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import List, Optional, Sequence, Tuple
 

@@ -8,7 +8,7 @@ process_frame_order (rawvideo_util.py:93-105).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

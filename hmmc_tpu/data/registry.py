@@ -20,7 +20,7 @@ Unlike the reference, the data roots are NOT hard-coded absolute paths
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 from hmmc_tpu.config import TaskConfig
 from hmmc_tpu.data.datasets import (

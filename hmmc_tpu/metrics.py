@@ -17,7 +17,7 @@ All host-side numpy; similarity matrices are produced on device elsewhere.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

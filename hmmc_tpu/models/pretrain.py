@@ -26,7 +26,7 @@ TPU-native design notes
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import flax.struct

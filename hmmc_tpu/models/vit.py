@@ -19,7 +19,7 @@ module_cross.py:236-237).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ NOTE the reference's pretrain normalize uses mean (0.48145466, 0.4578275,
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

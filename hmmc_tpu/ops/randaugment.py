@@ -20,13 +20,11 @@ Inputs/outputs: float [N, H, W, 3] in [0, 1].
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from hmmc_tpu.ops.image_ops import (
-    adjust_brightness, adjust_contrast, adjust_saturation, rgb_to_grayscale)
+    adjust_brightness, adjust_contrast, adjust_saturation)
 
 MAX_LEVEL = 10
 

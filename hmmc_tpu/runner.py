@@ -16,7 +16,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hmmc_tpu import factory
 from hmmc_tpu.cli import (MetricsWriter, make_tokenizer, set_seed,

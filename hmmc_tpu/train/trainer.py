@@ -17,7 +17,6 @@ the same jit.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -28,8 +27,8 @@ import optax
 from hmmc_tpu import losses
 from hmmc_tpu.config import CrossConfig, TaskConfig
 from hmmc_tpu.models.pretrain import (
-    BirdPretrainModel, MoCoQueues, MOMENTUM_SUBTREES, init_key_params,
-    mask_tokens, mlm_loss, momentum_update)
+    BirdPretrainModel, MoCoQueues, init_key_params, mask_tokens, mlm_loss,
+    momentum_update)
 from hmmc_tpu.models.retrieval import BirdModel
 
 

@@ -1,7 +1,6 @@
 """FramePack container, frame sampling, and device-side image op tests."""
 
 import io
-import os
 
 import jax
 import jax.numpy as jnp

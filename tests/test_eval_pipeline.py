@@ -8,7 +8,6 @@ batch, multi-sentence cut-off grouping."""
 
 import io
 import json
-import os
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ against a second implementation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn.functional as F
 

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from hmmc_tpu.config import ClipArch, CrossConfig
 from hmmc_tpu.models import (

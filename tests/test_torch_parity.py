@@ -9,7 +9,6 @@ LayerNorm and through our packed-qkv attention / fp32-stats LayerNorm.
 import numpy as np
 import pytest
 import torch
-import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp

@@ -4,12 +4,10 @@ mesh (SURVEY §4: data-parallel semantics testable without a TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
 from hmmc_tpu.models.pretrain import (
-    BirdPretrainModel, MoCoQueues, init_key_params, mask_tokens,
-    momentum_update)
+    BirdPretrainModel, MoCoQueues, mask_tokens, momentum_update)
 from hmmc_tpu.models.retrieval import BirdModel
 from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
 from hmmc_tpu.train.optimization import build_optimizer

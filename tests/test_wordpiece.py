@@ -1,6 +1,5 @@
 """Native WordPiece tokenizer tests (Chinese tower path)."""
 
-import numpy as np
 import pytest
 
 from hmmc_tpu.data.text import encode_text
