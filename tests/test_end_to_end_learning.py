@@ -57,17 +57,28 @@ def _setup():
     return model, batch, params, tx
 
 
-def test_dp_sharding_loss_invariance():
+def test_dp_sharding_loss_and_grad_invariance():
+    """Loss AND gradient norm must be identical on dp=1 and dp=8 — the
+    global-view jit differentiates the full gathered similarity matrix,
+    i.e. the diffdist all_gather semantics the reference trains with
+    (SURVEY §7 'hard parts': validate grads numerically)."""
     model, batch, params, tx = _setup()
     step = make_finetune_step(model, tx, TINY_CROSS)
-    losses = {}
+    losses, gnorms, updated = {}, {}, {}
     for dp in (1, 8):
         mesh = make_mesh(MeshSpec(dp=dp))
         state = FinetuneState.create(
             jax.tree_util.tree_map(jnp.copy, params), tx)
-        _, m = step(state, shard_batch(mesh, dict(batch)))
+        state, m = step(state, shard_batch(mesh, dict(batch)))
         losses[dp] = float(m["loss"])
+        gnorms[dp] = float(m["grad_norm"])
+        updated[dp] = np.asarray(
+            state.params["text_encoder"]["clip_text"]["token_embedding"])
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+    np.testing.assert_allclose(gnorms[1], gnorms[8], rtol=1e-4)
+    # post-update params identical -> full grad trees match
+    np.testing.assert_allclose(updated[1], updated[8], rtol=1e-5,
+                               atol=1e-7)
 
 
 def test_overfit_drives_r1_to_100():
