@@ -17,11 +17,11 @@ Backward: custom_vjp whose backward recomputes through the jnp reference
 attention (at these lengths recompute is cheaper than storing the
 [L, L] probabilities; XLA fuses the backward chain well).
 
-Measured (v5e, bf16, B*F=192, H=12, L=50, D=64): fused kernel 2.9ms vs
-XLA chain 1.4ms — the 128-lane padding (50->128, 64->128) wastes ~6.5x
-compute at ViT-B/32 lengths, so XLA attention stays the DEFAULT
-(TaskConfig.use_pallas_attention=False); this kernel is for the stretch
-configs (ViT-B/16 L=197, max_frames 48) where padding waste shrinks.
+Measured (v5e, bf16, D=64): L=50 (ViT-B/32): kernel 2.9ms vs XLA 1.4ms;
+L=197 (ViT-B/16): 5.5ms vs 2.8ms; L=577 (ViT-L/14@336): 2.8ms vs 3.5ms.
+The 128-lane padding waste dominates at short lengths, so XLA attention
+stays the DEFAULT (TaskConfig.use_pallas_attention=False); the kernel
+pays off from roughly L >= 512 (large-ViT stretch configs).
 """
 
 from __future__ import annotations
