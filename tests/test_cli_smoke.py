@@ -62,6 +62,15 @@ def data_dir(tmp_path_factory):
         "sentences": [{"video_id": v, "caption": f"a clip about {v} "
                       f"number {j}"} for v in vids for j in range(2)]}))
 
+    vatex = root / "vatex"
+    vatex.mkdir()
+    (vatex / "train_list.txt").write_text("\n".join(vids))
+    (vatex / "test_list.txt").write_text("\n".join(vids))
+    captions = {v: {"enCap": [f"caption about {v}"],
+                    "chCap": [f"关于{i}的说明"]}
+                for i, v in enumerate(vids)}
+    (vatex / "vatex_data.json").write_text(json.dumps(captions))
+
     bird = root / "bird"
     bird.mkdir()
     with open(bird / "pretrain.json", "w") as f:
@@ -234,3 +243,16 @@ def test_run_finetune_chinese(data_dir, cross_json, zh_vocab, tmp_path):
     args.pretrained_text = zh_vocab
     metrics = run_finetune(args)
     assert np.isfinite(metrics["R1"])
+
+
+def test_run_pretrain_vatex(data_dir, cross_json, tmp_path):
+    """VATEX pretrain path: captions double as tag+title
+    (dataloader_vatex_retrieval.py:248-249)."""
+    from hmmc_tpu.runner import run_pretrain
+
+    out = str(tmp_path / "ptv")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_pretrain", "--dataset", "vatex",
+                  "--contrast_num_negative", "16"])
+    run_pretrain(args)
+    assert os.path.isdir(os.path.join(out, "ckpt"))
