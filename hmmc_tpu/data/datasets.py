@@ -35,12 +35,20 @@ from hmmc_tpu.data.text import (
 
 def _decode_eval(blob, resolution: int) -> np.ndarray:
     """PIL path: parity with torchvision Resize(bicubic)+CenterCrop
-    (dataloader_msrvtt_retrieval.py:242-247)."""
+    (dataloader_msrvtt_retrieval.py:242-247). Corrupt frames zero-fill
+    with a warning (the native decoder does the same) instead of killing
+    the epoch."""
     import io
+    import logging
 
     from PIL import Image
 
-    img = Image.open(io.BytesIO(bytes(blob))).convert("RGB")
+    try:
+        img = Image.open(io.BytesIO(bytes(blob))).convert("RGB")
+    except Exception:
+        logging.getLogger(__name__).warning(
+            "corrupt JPEG frame (zero-filled)")
+        return np.zeros((resolution, resolution, 3), np.uint8)
     w, h = img.size
     if w <= h:
         nw, nh = resolution, max(resolution, round(h * resolution / w))
@@ -54,11 +62,17 @@ def _decode_eval(blob, resolution: int) -> np.ndarray:
 
 
 def _decode_aug(blob, size: int) -> np.ndarray:
-    """cv2 path: fast decode for the augmented (pretrain) pipeline."""
+    """cv2 path: fast decode for the augmented (pretrain) pipeline.
+    Corrupt frames zero-fill with a warning."""
     import cv2
+    import logging
 
     buf = np.frombuffer(bytes(blob), np.uint8)
     bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    if bgr is None:
+        logging.getLogger(__name__).warning(
+            "corrupt JPEG frame (zero-filled)")
+        return np.zeros((size, size, 3), np.uint8)
     rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
     h, w = rgb.shape[:2]
     if w <= h:

@@ -546,3 +546,57 @@ def export_clip_visual(params: Dict, out: Optional[StateDict] = None,
     _export_resblocks(p["transformer"], "transformer", inner)
     sd.update({prefix + k: v for k, v in inner.items()})
     return sd
+
+
+def export_hf_bert(params: Dict, out: Optional[StateDict] = None,
+                   prefix: str = "") -> StateDict:
+    """BertEncoder params -> HF BertModel names (inverse of
+    :func:`import_hf_bert`; the chinese tower round-trips through the
+    reference checkpoint format)."""
+    sd: StateDict = {} if out is None else out
+    p = params
+    sd[f"{prefix}embeddings.word_embeddings.weight"] = np.asarray(
+        p["word_embeddings"])
+    sd[f"{prefix}embeddings.position_embeddings.weight"] = np.asarray(
+        p["position_embeddings"])
+    sd[f"{prefix}embeddings.token_type_embeddings.weight"] = np.asarray(
+        p["token_type_embeddings"])
+    sd[f"{prefix}embeddings.LayerNorm.weight"] = np.asarray(
+        p["embeddings_ln"]["scale"])
+    sd[f"{prefix}embeddings.LayerNorm.bias"] = np.asarray(
+        p["embeddings_ln"]["bias"])
+    block = p["layer"]
+    layers = np.asarray(block["attn"]["in_proj_kernel"]).shape[0]
+    hidden = np.asarray(block["attn"]["in_proj_kernel"]).shape[1]
+    for i in range(layers):
+        b = f"{prefix}encoder.layer.{i}"
+        qkv_k = np.asarray(block["attn"]["in_proj_kernel"][i])  # [D, 3D]
+        qkv_b = np.asarray(block["attn"]["in_proj_bias"][i])
+        for j, name in enumerate(("query", "key", "value")):
+            sd[f"{b}.attention.self.{name}.weight"] = np.ascontiguousarray(
+                qkv_k[:, j * hidden:(j + 1) * hidden].T)
+            sd[f"{b}.attention.self.{name}.bias"] = (
+                qkv_b[j * hidden:(j + 1) * hidden])
+        sd[f"{b}.attention.output.dense.weight"] = np.ascontiguousarray(
+            np.asarray(block["attn"]["out_kernel"][i]).T)
+        sd[f"{b}.attention.output.dense.bias"] = np.asarray(
+            block["attn"]["out_bias"][i])
+        sd[f"{b}.attention.output.LayerNorm.weight"] = np.asarray(
+            block["attn_ln"]["scale"][i])
+        sd[f"{b}.attention.output.LayerNorm.bias"] = np.asarray(
+            block["attn_ln"]["bias"][i])
+        sd[f"{b}.intermediate.dense.weight"] = np.ascontiguousarray(
+            np.asarray(block["intermediate"]["kernel"][i]).T)
+        sd[f"{b}.intermediate.dense.bias"] = np.asarray(
+            block["intermediate"]["bias"][i])
+        sd[f"{b}.output.dense.weight"] = np.ascontiguousarray(
+            np.asarray(block["output"]["kernel"][i]).T)
+        sd[f"{b}.output.dense.bias"] = np.asarray(block["output"]["bias"][i])
+        sd[f"{b}.output.LayerNorm.weight"] = np.asarray(
+            block["output_ln"]["scale"][i])
+        sd[f"{b}.output.LayerNorm.bias"] = np.asarray(
+            block["output_ln"]["bias"][i])
+    sd[f"{prefix}pooler.dense.weight"] = np.ascontiguousarray(
+        np.asarray(params["pooler"]["kernel"]).T)
+    sd[f"{prefix}pooler.dense.bias"] = np.asarray(params["pooler"]["bias"])
+    return sd

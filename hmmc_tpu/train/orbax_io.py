@@ -72,6 +72,15 @@ def save_reference_checkpoint(path: str, params: Any,
     sd["text_encoder.logit_scale"] = np.asarray(te["logit_scale"])
     if language == "english" and "clip_text" in te:
         export_clip_text(te["clip_text"], sd, prefix="text_encoder.")
+    elif "chinese_encoder" in te:
+        from hmmc_tpu.train.checkpoint import export_hf_bert
+
+        export_hf_bert(te["chinese_encoder"], sd,
+                       prefix="text_encoder.chinese_encoder.")
+        sd["text_encoder.text_proj.weight"] = np.ascontiguousarray(
+            np.asarray(te["text_proj"]["kernel"]).T)
+        sd["text_encoder.text_proj.bias"] = np.asarray(
+            te["text_proj"]["bias"])
     ve = params["visual_encoder"]
     export_clip_visual(ve["visual"], sd, prefix="visual_encoder.visual.")
     if "frame_position_embeddings" in ve:

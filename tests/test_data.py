@@ -141,3 +141,13 @@ def test_gaussian_blur_smooths():
     y = image_ops.gaussian_blur(rng, x, sigma_range=(2.0, 2.0))
     assert float(jnp.var(y)) < float(jnp.var(x))
     assert y.shape == x.shape
+
+
+def test_corrupt_frame_zero_filled():
+    from hmmc_tpu.data.datasets import _decode_aug, _decode_eval
+
+    bad = b"definitely not a jpeg"
+    out = _decode_eval(bad, 16)
+    assert out.shape == (16, 16, 3) and out.sum() == 0
+    out = _decode_aug(bad, 16)
+    assert out.shape == (16, 16, 3) and out.sum() == 0

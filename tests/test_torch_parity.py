@@ -149,3 +149,23 @@ def test_batchnorm_import_matches_torch_eval():
              jnp.asarray, imported["batch_stats"])},
         jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_hf_bert_export_import_roundtrip():
+    """export_hf_bert -> import_hf_bert reproduces the exact param tree."""
+    from hmmc_tpu.models.text import BertEncoder
+    from hmmc_tpu.train.checkpoint import export_hf_bert, import_hf_bert
+
+    enc = BertEncoder(vocab_size=64, hidden_size=16, num_layers=2,
+                      num_heads=2, intermediate_size=32,
+                      max_position_embeddings=24)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), ids)["params"]
+    sd = export_hf_bert(jax.tree_util.tree_map(np.asarray, params))
+    back = import_hf_bert(sd, "")
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, back))
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
