@@ -98,11 +98,13 @@ def run_eval(args, log=None) -> Dict[str, float]:
     log = log or setup_logging(task.output_dir)
     set_seed(task.seed)
     tokenizer = make_tokenizer(task)
+    # resolve data BEFORE the (expensive) model build so a bad --data_dir
+    # fails in seconds, not minutes
+    split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
+    loader, dataset = DATALOADER_DICT[task.dataset][split](task, tokenizer)
     model, variables = factory.build_model(
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
-    split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
-    loader, dataset = DATALOADER_DICT[task.dataset][split](task, tokenizer)
     ev = Evaluator(model, task, weight_title=cross.weight_title)
     metrics = ev.run(variables["params"], loader, dataset, log)
     return metrics
@@ -115,15 +117,16 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     tokenizer = make_tokenizer(task)
     writer = MetricsWriter(task.logdir)
 
-    model, variables = factory.build_model(
-        task, cross, vocab_size=tokenizer.vocab_size,
-        clip_model_path=args.clip_model, init_model_path=task.init_model)
-    params = variables["params"]
-
+    # data first (fast failure on bad --data_dir), then the model build
     train_loader, _ = DATALOADER_DICT[task.dataset]["train"](task, tokenizer)
     eval_split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
     eval_loader, eval_dataset = DATALOADER_DICT[task.dataset][eval_split](
         task, tokenizer)
+
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model)
+    params = variables["params"]
 
     steps_per_epoch = len(train_loader)
     t_total = steps_per_epoch * task.epochs
@@ -210,12 +213,11 @@ def run_pretrain(args, log=None) -> None:
     tokenizer = make_tokenizer(task)
     writer = MetricsWriter(task.logdir)
 
+    loader, _ = DATALOADER_DICT[task.dataset]["pretrain"](task, tokenizer)
     model, variables = factory.build_model(
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model,
         pretrain=True)
-
-    loader, _ = DATALOADER_DICT[task.dataset]["pretrain"](task, tokenizer)
     steps_per_epoch = len(loader)
     t_total = steps_per_epoch * task.epochs
     tx = build_optimizer(

@@ -92,5 +92,9 @@ def save_reference_checkpoint(path: str, params: Any,
         _export_resblocks(ve["temporal_transformer"],
                           "temporal_transformer", inner)
         sd.update({f"visual_encoder.{k}": v for k, v in inner.items()})
+    # atomic write: a crash mid-save must not leave a corrupt file under
+    # the final name
+    tmp = path + ".tmp"
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                for k, v in sd.items()}, path)
+                for k, v in sd.items()}, tmp)
+    os.replace(tmp, path)
