@@ -40,13 +40,71 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+class _BlockedEncoder:
+    """Accumulates host rows and runs a jitted encoder over FIXED-size
+    blocks, padding only the final partial block.
+
+    This bounds the device footprint of feature caching by the block size
+    — NOT by ``--batch_size_val`` (default 3500), which at MSR-VTT eval
+    geometry would otherwise push a [3500, 12, 224, 224, 3] tensor through
+    the ViT (~25 GB). The reference instead shards eval rows across GPUs
+    (util.py:23-62); fixed blocks are the single-program equivalent."""
+
+    def __init__(self, fn, block: int):
+        self.fn = fn
+        self.block = block
+        self.bufs = None
+        self.n = 0
+        self.outs = []
+
+    def add(self, *arrays: np.ndarray) -> None:
+        if self.bufs is None:
+            self.bufs = [[] for _ in arrays]
+        for buf, a in zip(self.bufs, arrays):
+            buf.append(np.asarray(a))
+        self.n += arrays[0].shape[0]
+        while self.n >= self.block:
+            self._compact()
+            blk = [c[:self.block] for c in self._cat]
+            self._run(blk, self.block)
+            self._cat = [c[self.block:] for c in self._cat]
+            self.bufs = [[c] for c in self._cat]
+            self.n -= self.block
+
+    def _compact(self) -> None:
+        self._cat = [b[0] if len(b) == 1 else np.concatenate(b, axis=0)
+                     for b in self.bufs]
+
+    def _run(self, blk, n_valid: int) -> None:
+        out = self.fn(*blk)
+        if not isinstance(out, (tuple, list)):
+            out = (out,)
+        self.outs.append(tuple(np.asarray(o)[:n_valid] for o in out))
+
+    def finish(self):
+        """Returns a tuple of concatenated outputs (empty tuple if no rows
+        were added)."""
+        if self.n:
+            self._compact()
+            self._run([_pad_to(c, self.block) for c in self._cat], self.n)
+            self.bufs, self.n = None, 0
+        if not self.outs:
+            return ()
+        width = len(self.outs[0])
+        return tuple(np.concatenate([o[i] for o in self.outs], axis=0)
+                     for i in range(width))
+
+
 class Evaluator:
     def __init__(self, model, task: TaskConfig, query_block: int = 512,
-                 weight_title: float = 0.5):
+                 weight_title: float = 0.5, text_block: int = 512,
+                 video_block: int = 64):
         self.model = model
         self.task = task
         self.query_block = query_block
         self.weight_title = weight_title
+        self.text_block = text_block
+        self.video_block = video_block
 
         def encode_text(params, ids, mask):
             return model.apply({"params": params}, ids, mask,
@@ -82,40 +140,34 @@ class Evaluator:
         cut_off = ([c - 1 for c in dataset.cut_off_points] if multi else [])
         is_vt = self.task.task == "retrieval_VT"
 
-        q_list, v_list, f_list, t_list = [], [], [], []
+        q_enc = _BlockedEncoder(
+            lambda i, m: self._encode_text(params, i, m), self.text_block)
+        t_enc = _BlockedEncoder(
+            lambda i, m: self._encode_text(params, i, m), self.text_block)
+        v_enc = _BlockedEncoder(
+            lambda v: self._encode_video(params, v), self.video_block)
+
         total_video = 0
-        batch_size = loader.batch_size
         for batch in loader:
-            ids = _pad_to(batch["query_ids"], batch_size)
-            mask = _pad_to(batch["query_mask"], batch_size)
             n = batch["query_ids"].shape[0]
-            q = np.asarray(self._encode_text(params, ids, mask))[:n]
-            q_list.append(q)
+            q_enc.add(batch["query_ids"], batch["query_mask"])
             if is_vt and "title_ids" in batch:
-                tids = _pad_to(batch["title_ids"], batch_size)
-                tmask = _pad_to(batch["title_mask"], batch_size)
-                t = np.asarray(self._encode_text(params, tids, tmask))[:n]
-                t_list.append(t)
+                t_enc.add(batch["title_ids"], batch["title_mask"])
             if multi:
-                s_, e_ = total_video, total_video + n
-                keep = [i - s_ for i in cut_off if s_ <= i < e_]
+                # encode only the videos at the cut-off indices
+                # (main_task_retrieval.py:401-419)
+                s_ = total_video
+                keep = [i - s_ for i in cut_off if s_ <= i < s_ + n]
                 if keep:
-                    vid = batch["video"][keep]
-                    vid = _pad_to(vid, batch_size)
-                    v, f = self._encode_video(params, vid)
-                    v_list.append(np.asarray(v)[:len(keep)])
-                    f_list.append(np.asarray(f)[:len(keep)])
+                    v_enc.add(batch["video"][keep])
                 total_video += n
             else:
-                vid = _pad_to(batch["video"], batch_size)
-                v, f = self._encode_video(params, vid)
-                v_list.append(np.asarray(v)[:n])
-                f_list.append(np.asarray(f)[:n])
+                v_enc.add(batch["video"])
 
-        q = np.concatenate(q_list, axis=0)
-        v = np.concatenate(v_list, axis=0)
-        f = np.concatenate(f_list, axis=0)
-        t = np.concatenate(t_list, axis=0) if t_list else None
+        (q,) = q_enc.finish()
+        v, f = v_enc.finish()
+        t_out = t_enc.finish()
+        t = t_out[0] if t_out else None
         return q, v, f, t, multi, cut_off
 
     def similarity(self, params, q: np.ndarray, v: np.ndarray,

@@ -6,14 +6,23 @@ Construction order mirrors the reference:
 2. overlay OpenAI CLIP weights (the reference always builds its towers from
    ``ViT-B-32.pt``, module_clip.py:418-439; here the path comes from
    ``--clip_model`` / task.clip_model since there is no network fetch);
-3. overlay a user checkpoint (``--init_model``): either a reference torch
+3. for ``--language chinese`` without a full checkpoint, overlay pretrained
+   RoBERTa weights onto the Chinese text tower from a LOCAL HF checkpoint
+   (``--pretrained_text`` as a directory/file path). The reference does
+   ``AutoModel.from_pretrained("hfl/chinese-roberta-wwm-ext")`` at build
+   (module_cross.py:260-265); there is no network fetch here, so a hub name
+   that is not a local path logs a warning and leaves the tower at random
+   init;
+4. overlay a user checkpoint (``--init_model``): either a reference torch
    ``pytorch_model.bin.*`` (imported via the name map) or a native Orbax
-   directory.
+   checkpoint directory (the ``ckpt/`` tree written by the runner, or the
+   output_dir containing it).
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -41,6 +50,34 @@ def _init_variables(model, task: TaskConfig, arch: ClipArch,
     return model.init(rng, ids, mask, video)
 
 
+def _resolve_hf_checkpoint(path: Optional[str]) -> Optional[str]:
+    """A local HF checkpoint: either the weights file itself or a directory
+    containing pytorch_model.bin. Hub names (no local file) resolve to
+    None — this environment has no network fetch."""
+    if not path:
+        return None
+    if os.path.isfile(path) and path.endswith((".bin", ".pt", ".pth")):
+        # a weights file directly (pretrained_text may instead be a bare
+        # vocab.txt, which only feeds the tokenizer)
+        return path
+    if os.path.isdir(path):
+        cand = os.path.join(path, "pytorch_model.bin")
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _resolve_orbax_dir(path: str) -> Optional[str]:
+    """An --init_model directory: the runner's ckpt/ tree itself or an
+    output_dir containing one."""
+    from hmmc_tpu.train import orbax_io
+
+    for cand in (path, os.path.join(path, "ckpt")):
+        if os.path.isdir(cand) and orbax_io.latest_step(cand) is not None:
+            return cand
+    return None
+
+
 def build_model(task: TaskConfig, cross: CrossConfig,
                 vocab_size: int = 49408,
                 clip_model_path: Optional[str] = None,
@@ -53,6 +90,10 @@ def build_model(task: TaskConfig, cross: CrossConfig,
         arch=arch, cross_config=cross, language=task.language,
         use_temp=task.use_temp, dtype=dtype,
         use_pallas=task.use_pallas_attention)
+    if task.language == "chinese":
+        # size the Chinese tower's embedding by the actual tokenizer vocab
+        # (21128 for the stock BERT vocab; tiny in tests)
+        common["chinese_vocab_size"] = vocab_size
     if pretrain:
         model = BirdPretrainModel(vocab_size=vocab_size, **common)
     elif task.task == "retrieval_VT":
@@ -76,17 +117,51 @@ def build_model(task: TaskConfig, cross: CrossConfig,
         params = ckpt.merge_params(params, imported, logger)
         logger.info("loaded CLIP weights from %s", clip_model_path)
 
+    if task.language == "chinese":
+        # pretrained RoBERTa into the Chinese tower
+        # (module_cross.py:260-265). A full --init_model overlay follows
+        # and wins, matching the reference's load-then-init_preweight order.
+        bert_path = _resolve_hf_checkpoint(task.pretrained_text)
+        if bert_path:
+            sd = ckpt.load_torch_state_dict(bert_path)
+            bert = ckpt.import_hf_bert(sd)
+            params = ckpt.merge_params(
+                params, {"text_encoder": {"chinese_encoder": bert}}, logger)
+            logger.info("loaded pretrained Chinese text tower from %s",
+                        bert_path)
+        else:
+            logger.warning(
+                "pretrained_text %r is not a local HF checkpoint; the "
+                "Chinese text tower starts from RANDOM init (the reference "
+                "downloads hfl/chinese-roberta-wwm-ext — place its "
+                "pytorch_model.bin locally and pass the path)",
+                task.pretrained_text)
+
     if init_model_path:
-        sd = ckpt.load_torch_state_dict(init_model_path)
-        imported = ckpt.import_hmmc_state_dict(
-            sd, language=task.language, use_temp=task.use_temp,
-            pretrain=pretrain, proj_num_layers=cross.proj_num_layers,
-            pred_num_layers=cross.pred_num_layers)
-        params = ckpt.merge_params(params, imported["params"], logger)
-        if "batch_stats" in imported and "batch_stats" in variables:
-            variables["batch_stats"] = ckpt.merge_params(
-                variables["batch_stats"], imported["batch_stats"], logger)
-        logger.info("loaded checkpoint %s", init_model_path)
+        orbax_dir = (os.path.isdir(init_model_path)
+                     and _resolve_orbax_dir(init_model_path))
+        if orbax_dir:
+            from hmmc_tpu.train import orbax_io
+
+            restored = orbax_io.restore_raw(orbax_dir)
+            params = ckpt.merge_params(params, restored["params"], logger)
+            if "batch_stats" in restored and "batch_stats" in variables:
+                variables["batch_stats"] = ckpt.merge_params(
+                    variables["batch_stats"], restored["batch_stats"],
+                    logger)
+            logger.info("loaded native Orbax checkpoint %s", orbax_dir)
+        else:
+            sd = ckpt.load_torch_state_dict(init_model_path)
+            imported = ckpt.import_hmmc_state_dict(
+                sd, language=task.language, use_temp=task.use_temp,
+                pretrain=pretrain, proj_num_layers=cross.proj_num_layers,
+                pred_num_layers=cross.pred_num_layers)
+            params = ckpt.merge_params(params, imported["params"], logger)
+            if "batch_stats" in imported and "batch_stats" in variables:
+                variables["batch_stats"] = ckpt.merge_params(
+                    variables["batch_stats"], imported["batch_stats"],
+                    logger)
+            logger.info("loaded checkpoint %s", init_model_path)
 
     variables["params"] = params
     return model, variables

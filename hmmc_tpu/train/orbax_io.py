@@ -57,6 +57,17 @@ def restore_state(directory: str, template: Any,
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
 
+def restore_raw(directory: str, step: Optional[int] = None) -> Any:
+    """Restore a checkpoint as a plain nested dict (no template) — used by
+    the factory to pull just ``params`` out of a full training-state
+    checkpoint when ``--init_model`` points at an Orbax directory."""
+    with _manager(directory) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        return mgr.restore(step)
+
+
 def save_reference_checkpoint(path: str, params: Any,
                               language: str = "english") -> None:
     """Write a torch state dict in the reference's naming so checkpoints

@@ -124,6 +124,65 @@ def test_vatex_multisentence_pipeline(store, tmp_path, tokenizer):
     assert np.isfinite(metrics["R1"])
 
 
+def test_blocked_encoder_fixed_device_shapes():
+    """Feature caching must run the device encoders on FIXED block-sized
+    inputs regardless of --batch_size_val: with the reference default 3500
+    an MSR-VTT eval would otherwise push a [3500, 12, 224, 224, 3] tensor
+    through the ViT (~25 GB on-chip). Shape accounting: every call sees
+    exactly `block` rows."""
+    from hmmc_tpu.evaluation import _BlockedEncoder
+
+    calls = []
+
+    def fn(x, y):
+        calls.append((x.shape, y.shape))
+        return x * 2.0, y + 1.0
+
+    enc = _BlockedEncoder(fn, block=4)
+    a = np.arange(10, dtype=np.float32)[:, None]
+    b = np.arange(10, dtype=np.float32)[:, None] * 10
+    enc.add(a[:5], b[:5])     # simulated loader batches of 5
+    enc.add(a[5:], b[5:])
+    out_x, out_y = enc.finish()
+    assert [c for c in calls] == [((4, 1), (4, 1))] * 3  # 4+4+pad(2->4)
+    np.testing.assert_array_equal(out_x, a * 2.0)
+    np.testing.assert_array_equal(out_y, b + 1.0)
+    # default video_block bounds the eval footprint by construction:
+    # [64, 12, 224, 224, 3] f32 = ~1.4 GB < 8 GB even before XLA fusion
+    bytes_f32 = 64 * 12 * 224 * 224 * 3 * 4
+    assert bytes_f32 < 8 * 2 ** 30
+
+
+def test_blocked_cache_matches_whole_batch(store, tmp_path, tokenizer):
+    """Features from tiny blocks that straddle loader batches == features
+    from one giant block (padding/trim correctness)."""
+    import pandas as pd
+
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({
+        "video_id": [f"video{i}" for i in range(N_VIDEOS)],
+        "sentence": [f"a dog number {i} runs" for i in range(N_VIDEOS)],
+    }).to_csv(csv, index=False)
+    source = FrameSource(store, frames_per_video=FRAMES_STORED,
+                         mode="eval", resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), tokenizer, max_words=16,
+                           max_frames=4)
+    task = TaskConfig(do_eval=True, top_frames=2)
+    model = BirdModel(TINY, TINY_CROSS)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+        jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
+
+    small = Evaluator(model, task, text_block=3, video_block=2)
+    big = Evaluator(model, task, text_block=16, video_block=16)
+    loader = BatchLoader(ds, batch_size=5, num_workers=2)  # 7 -> 5+2
+    qs, vs, fs, _, _, _ = small.cache_features(params, loader, ds)
+    qb, vb, fb, _, _, _ = big.cache_features(params, loader, ds)
+    np.testing.assert_allclose(qs, qb, atol=1e-5)
+    np.testing.assert_allclose(vs, vb, atol=1e-5)
+    np.testing.assert_allclose(fs, fb, atol=1e-5)
+
+
 def test_batch_loader_epoch_shuffle(store, tokenizer, tmp_path):
     import pandas as pd
 

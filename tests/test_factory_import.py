@@ -117,3 +117,130 @@ def test_build_model_with_clip_checkpoint(tmp_path):
 def test_count_params():
     params = {"a": jnp.zeros((3, 4)), "b": {"c": jnp.zeros(5)}}
     assert factory.count_params(params) == 17
+
+
+# ---------------------------------------------------------------------------
+# pretrained Chinese tower at build (module_cross.py:260-265)
+# ---------------------------------------------------------------------------
+
+ZH_VOCAB, ZH_H, ZH_LAYERS, ZH_HEADS, ZH_INTER = 50, 32, 2, 2, 64
+
+
+def _hf_bert_state_dict():
+    """Synthetic checkpoint in HF BertModel's exact naming."""
+    g = np.random.default_rng(7)
+
+    def t(*shape):
+        return torch.tensor(g.normal(size=shape).astype(np.float32) * 0.05)
+
+    sd = {
+        "embeddings.word_embeddings.weight": t(ZH_VOCAB, ZH_H),
+        "embeddings.position_embeddings.weight": t(512, ZH_H),
+        "embeddings.token_type_embeddings.weight": t(2, ZH_H),
+        "embeddings.LayerNorm.weight": t(ZH_H),
+        "embeddings.LayerNorm.bias": t(ZH_H),
+        "pooler.dense.weight": t(ZH_H, ZH_H),
+        "pooler.dense.bias": t(ZH_H),
+    }
+    for i in range(ZH_LAYERS):
+        b = f"encoder.layer.{i}"
+        sd.update({
+            f"{b}.attention.self.query.weight": t(ZH_H, ZH_H),
+            f"{b}.attention.self.query.bias": t(ZH_H),
+            f"{b}.attention.self.key.weight": t(ZH_H, ZH_H),
+            f"{b}.attention.self.key.bias": t(ZH_H),
+            f"{b}.attention.self.value.weight": t(ZH_H, ZH_H),
+            f"{b}.attention.self.value.bias": t(ZH_H),
+            f"{b}.attention.output.dense.weight": t(ZH_H, ZH_H),
+            f"{b}.attention.output.dense.bias": t(ZH_H),
+            f"{b}.attention.output.LayerNorm.weight": t(ZH_H),
+            f"{b}.attention.output.LayerNorm.bias": t(ZH_H),
+            f"{b}.intermediate.dense.weight": t(ZH_INTER, ZH_H),
+            f"{b}.intermediate.dense.bias": t(ZH_INTER),
+            f"{b}.output.dense.weight": t(ZH_H, ZH_INTER),
+            f"{b}.output.dense.bias": t(ZH_H),
+            f"{b}.output.LayerNorm.weight": t(ZH_H),
+            f"{b}.output.LayerNorm.bias": t(ZH_H),
+        })
+    return sd
+
+
+def _zh_task_and_cross(tmp_path, pretrained_text):
+    cross_json = tmp_path / "cross_zh.json"
+    cross_json.write_text(json.dumps({
+        "pretrained_clip_name": TINY_NAME, "temporal_hidden_size": EMB,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 1,
+        "max_position_embeddings": 8,
+        "chinese_hidden_size": ZH_H, "chinese_num_layers": ZH_LAYERS,
+        "chinese_num_heads": ZH_HEADS,
+        "chinese_intermediate_size": ZH_INTER}))
+    task = TaskConfig(do_eval=True, language="chinese",
+                      cross_model=str(cross_json), max_words=CTX,
+                      max_frames=2, compute_dtype="float32",
+                      pretrained_text=pretrained_text)
+    return task, CrossConfig.from_json(str(cross_json))
+
+
+def test_build_chinese_loads_pretrained_roberta(tmp_path):
+    """--language chinese without --init_model must overlay the local HF
+    checkpoint onto the Chinese tower (the reference builds the tower via
+    AutoModel.from_pretrained, module_cross.py:260-265)."""
+    sd = _hf_bert_state_dict()
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    torch.save(sd, str(hf_dir / "pytorch_model.bin"))
+
+    task, cross = _zh_task_and_cross(tmp_path, str(hf_dir))
+    model, variables = factory.build_model(task, cross, vocab_size=ZH_VOCAB)
+    enc = variables["params"]["text_encoder"]["chinese_encoder"]
+    np.testing.assert_allclose(
+        np.asarray(enc["word_embeddings"]),
+        sd["embeddings.word_embeddings.weight"].numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(enc["pooler"]["kernel"]),
+        sd["pooler.dense.weight"].numpy().T, atol=1e-6)
+
+    # the pretrained tower must actually change the text features vs a
+    # random-init build (hub-name pretrained_text resolves to nothing here)
+    task_rand, _ = _zh_task_and_cross(tmp_path, "hfl/chinese-roberta-wwm-ext")
+    _, var_rand = factory.build_model(task_rand, cross, vocab_size=ZH_VOCAB)
+    ids = jnp.arange(CTX, dtype=jnp.int32)[None, :] % ZH_VOCAB
+    mask = jnp.ones((1, CTX), jnp.int32)
+    out_pre = model.apply(variables, ids, mask, method="encode_text")
+    out_rand = model.apply(var_rand, ids, mask, method="encode_text")
+    assert not np.allclose(np.asarray(out_pre), np.asarray(out_rand))
+
+
+def test_init_model_accepts_orbax_dir(tmp_path):
+    """--init_model pointed at a native Orbax checkpoint directory (or the
+    output_dir containing ckpt/) restores params without a torch export
+    (from_pretrained semantics, modeling.py:48-67)."""
+    from hmmc_tpu.train import orbax_io
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import FinetuneState
+
+    cross_json = tmp_path / "cross.json"
+    cross_json.write_text(json.dumps({
+        "pretrained_clip_name": TINY_NAME, "temporal_hidden_size": EMB,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 1,
+        "max_position_embeddings": 8}))
+    task = TaskConfig(do_eval=True, language="english",
+                      cross_model=str(cross_json), max_words=CTX,
+                      max_frames=2, compute_dtype="float32")
+    cross = CrossConfig.from_json(str(cross_json))
+    model, variables = factory.build_model(task, cross, vocab_size=VOCAB)
+
+    # perturb, save as a full training state under out/ckpt
+    trained = jax.tree_util.tree_map(
+        lambda p: np.asarray(p) + 1.0, variables["params"])
+    tx = build_optimizer(trained, lr=1e-4, text_lr=1e-5, coef_lr=1.0,
+                         weight_decay=0.0, warmup_proportion=0.1, t_total=4)
+    state = FinetuneState.create(trained, tx)
+    out_dir = tmp_path / "out"
+    orbax_io.save_state(str(out_dir / "ckpt"), state, step=3)
+
+    _, restored = factory.build_model(
+        task, cross, vocab_size=VOCAB, init_model_path=str(out_dir))
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["visual_encoder"]["visual"]["proj"]),
+        np.asarray(trained["visual_encoder"]["visual"]["proj"]), atol=1e-6)
