@@ -3,8 +3,13 @@
 Replaces the reference's torch DataLoader + DistributedSampler stack
 (dataloaders/dataloader.py:9-177). Differences by design:
 
-- one GLOBAL loader per job (no per-rank sharding): batches are global
-  arrays sharded over the mesh's data axis by the caller;
+- the loader thinks in GLOBAL batches: the index order is derived from
+  (seed, epoch) identically on every process, and each process decodes
+  only its contiguous 1/process_count shard of every global batch
+  (DistributedSampler semantics, dataloaders/dataloader.py:14). The
+  caller assembles the global jax.Array via
+  ``parallel.shard_batch`` (jax.make_array_from_process_local_data on
+  multi-host, plain device_put otherwise);
 - decode runs in a thread pool (cv2/PIL release the GIL in the hot parts);
 - ``prefetch`` keeps N batches in flight so host decode overlaps device
   compute (double buffering).
@@ -39,7 +44,17 @@ class BatchLoader:
         num_workers: int = 8,
         seed: int = 42,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch; with process_count > 1 each
+        process yields its contiguous batch_size/process_count shard of
+        every global batch (shards concatenate, in process order, to the
+        exact single-process batch)."""
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide by "
+                f"process_count {process_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +62,8 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -72,6 +89,19 @@ class BatchLoader:
                  if self.drop_last else n)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, limit, self.batch_size)]
+        if self.process_count > 1:
+            p, count = self.process_index, self.process_count
+
+            def local_shard(bidx: np.ndarray) -> np.ndarray:
+                if len(bidx) % count:
+                    # final partial batch: wrap-pad so every process holds
+                    # an equal shard (DistributedSampler pads the same way)
+                    need = count - len(bidx) % count
+                    bidx = np.concatenate([bidx, bidx[:need]])
+                per = len(bidx) // count
+                return bidx[p * per:(p + 1) * per]
+
+            batches = [local_shard(b) for b in batches]
         if not batches:
             return iter(())
 

@@ -52,11 +52,21 @@ def _source(task: TaskConfig, sub: str, mode: str,
 
 
 def _loader(dataset, task: TaskConfig, train: bool) -> BatchLoader:
+    # Train loaders shard each global batch across processes (multi-host
+    # slices); eval stays global per process — the eval set is small and
+    # the evaluator needs all features anyway.
+    if train:
+        import jax
+
+        pi, pc = jax.process_index(), jax.process_count()
+    else:
+        pi, pc = 0, 1
     return BatchLoader(
         dataset,
         batch_size=task.batch_size if train else task.batch_size_val,
         shuffle=train, drop_last=train,
-        num_workers=max(1, task.num_thread_reader), seed=task.seed)
+        num_workers=max(1, task.num_thread_reader), seed=task.seed,
+        process_index=pi, process_count=pc)
 
 
 def msrvtt_train(task: TaskConfig, tokenizer):

@@ -60,10 +60,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays onto the mesh, batch-axis sharded."""
+    """Place a host pytree of arrays onto the mesh, batch-axis sharded.
+
+    Single-process: a plain device_put of the global batch. Multi-host
+    (jax.process_count() > 1): each leaf is this process's contiguous
+    shard of the global batch (produced by BatchLoader's process
+    sharding), assembled into one global jax.Array via
+    jax.make_array_from_process_local_data — the DistributedSampler +
+    DDP equivalent (dataloaders/dataloader.py:14)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
 
 # ---------------------------------------------------------------------------

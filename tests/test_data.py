@@ -151,3 +151,59 @@ def test_corrupt_frame_zero_filled():
     assert out.shape == (16, 16, 3) and out.sum() == 0
     out = _decode_aug(bad, 16)
     assert out.shape == (16, 16, 3) and out.sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# multi-host process sharding (DistributedSampler semantics,
+# dataloaders/dataloader.py:14)
+# ---------------------------------------------------------------------------
+
+class _IdxDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.int64(i)}
+
+
+def test_process_sharded_loader_disjoint_and_complete():
+    """Two simulated processes each load a disjoint contiguous half of
+    every global batch; the halves concatenate (in process order) to
+    exactly the single-process global batch, so a jitted train step over
+    jax.make_array_from_process_local_data sees the identical global
+    array."""
+    from hmmc_tpu.data.loader import BatchLoader
+
+    n, bs = 22, 8  # batches of 8, 8, 6 (last one wrap-padded to 8)
+    mk = lambda p, c: BatchLoader(
+        _IdxDataset(n), batch_size=bs, shuffle=True, num_workers=1,
+        seed=3, process_index=p, process_count=c)
+    for epoch in (0, 1):
+        g, l0, l1 = mk(0, 1), mk(0, 2), mk(1, 2)
+        for ld in (g, l0, l1):
+            ld.set_epoch(epoch)
+        gb = [b["idx"] for b in g]
+        b0 = [b["idx"] for b in l0]
+        b1 = [b["idx"] for b in l1]
+        assert len(gb) == len(b0) == len(b1) == 3
+        for i, (bg, s0, s1) in enumerate(zip(gb, b0, b1)):
+            cat = np.concatenate([s0, s1])
+            if len(bg) % 2 == 0:
+                np.testing.assert_array_equal(cat, bg)
+                assert not set(s0.tolist()) & set(s1.tolist())
+            else:
+                # wrap-padded final batch: global rows + duplicated head
+                need = 2 - len(bg) % 2
+                np.testing.assert_array_equal(
+                    cat, np.concatenate([bg, bg[:need]]))
+
+
+def test_process_count_must_divide_batch():
+    from hmmc_tpu.data.loader import BatchLoader
+
+    with np.testing.assert_raises(ValueError):
+        BatchLoader(_IdxDataset(8), batch_size=9, process_index=0,
+                    process_count=2)
