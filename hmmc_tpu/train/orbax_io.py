@@ -106,6 +106,8 @@ def save_reference_checkpoint(path: str, params: Any,
     # atomic write: a crash mid-save must not leave a corrupt file under
     # the final name
     tmp = path + ".tmp"
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+    # np.array copies, making the buffer writable (jax arrays are
+    # read-only views; torch.from_numpy warns on them)
+    torch.save({k: torch.from_numpy(np.array(v))
                 for k, v in sd.items()}, tmp)
     os.replace(tmp, path)
