@@ -234,10 +234,14 @@ class VatexDataset:
 
     def __init__(self, source: FrameSource, data_path: str, subset: str,
                  tokenizer, language: str = "english", max_words: int = 32,
-                 max_frames: int = 12, frame_sample: str = "uniform"):
+                 max_frames: int = 12, frame_sample: str = "uniform",
+                 list_path: str = None):
+        """``list_path`` overrides the split list location (the registry
+        falls back to the manifests bundled under tools/vatex_txt/ when the
+        data dir lacks them — the reference ships the same lists)."""
         list_file = {"pretrain": "train_list.txt", "train": "train_list.txt",
                      "val": "val_list.txt", "test": "test_list.txt"}[subset]
-        with open(os.path.join(data_path, list_file), "r",
+        with open(list_path or os.path.join(data_path, list_file), "r",
                   encoding="utf-8") as f:
             video_ids = [l.strip() for l in f if l.strip()]
         with open(os.path.join(data_path, "vatex_data.json"), "r",

@@ -92,14 +92,31 @@ def msrvtt_test(task: TaskConfig, tokenizer):
     return _loader(ds, task, train=False), ds
 
 
+_BUNDLED_VATEX_LISTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tools", "vatex_txt")
+
+
 def vatex_split(subset: str, train: bool):
     def factory(task: TaskConfig, tokenizer):
         base = os.path.join(task.data_dir or ".", "vatex")
+        # the reference ships its VATEX split lists (tools/vatex_txt/,
+        # 25991/1500/1500 ids); fall back to the bundled copies when the
+        # data dir lacks them so an eval needs no undocumented files
+        list_file = {"pretrain": "train_list.txt",
+                     "train": "train_list.txt", "val": "val_list.txt",
+                     "test": "test_list.txt"}[subset]
+        list_path = None
+        if not os.path.isfile(os.path.join(base, list_file)):
+            cand = os.path.join(_BUNDLED_VATEX_LISTS, list_file)
+            if os.path.isfile(cand):
+                list_path = cand
         ds = VatexDataset(
             _source(task, "vatex", "eval"), data_path=base, subset=subset,
             tokenizer=tokenizer, language=task.language,
             max_words=task.max_words, max_frames=task.max_frames,
-            frame_sample=task.frame_sample if train else "uniform")
+            frame_sample=task.frame_sample if train else "uniform",
+            list_path=list_path)
         return _loader(ds, task, train=train), ds
 
     return factory

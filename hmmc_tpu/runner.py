@@ -231,7 +231,7 @@ def run_pretrain(args, log=None) -> None:
     mask_id, pad_id, cls_id = _mlm_token_ids(task, tokenizer)
     step_fn = make_pretrain_step(
         model, tx, cross, task, mask_token_id=mask_id, pad_token_id=pad_id,
-        cls_token_id=cls_id)
+        cls_token_id=cls_id, n_accum=task.gradient_accumulation_steps)
 
     mesh = make_mesh(MeshSpec(dp=task.dp_size))
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")

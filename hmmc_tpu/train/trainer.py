@@ -223,15 +223,15 @@ def make_pretrain_step(
 
     Step order matches modeling.py:334-436: query forwards; momentum EMA;
     key forwards (stop-grad); FAM/VTM/FTM losses vs queues; enqueue; MLM.
+
+    Gradient accumulation (n_accum > 1) is QUEUE-CONSISTENT micro-batching:
+    the reference steps its momentum EMA and queue once per FORWARD
+    (``_momentum_update`` + ``_dequeue_and_enqueue`` live inside
+    modeling.py:368-412), with the optimizer stepping every n_accum
+    forwards — so each micro-batch here runs EMA -> key forwards -> losses
+    against the CURRENT queue snapshot -> enqueue, inside a lax.scan, and
+    the mean of the micro-grads feeds one optimizer update.
     """
-    if n_accum != 1:
-        # The MoCo step couples every micro-batch to its own key forwards
-        # and queue snapshot; the reference likewise steps its queue per
-        # forward. Pretrain therefore accumulates at the data level
-        # (smaller global batch), not inside the step.
-        raise NotImplementedError(
-            "gradient accumulation is not supported for the pretrain step; "
-            "reduce batch_size instead")
     use_tag = task.dataset == "bird"
     use_frame = task.use_frame_fea
     temp = task.contrast_temperature
@@ -331,24 +331,52 @@ def make_pretrain_step(
                "batch_stats": mut["batch_stats"]}
         return loss, aux
 
-    def step(state: PretrainState, batch: Dict, rng: jax.Array
-             ) -> Tuple[PretrainState, Dict]:
-        # momentum EMA BEFORE key forwards (modeling.py:368-372)
-        params_k = momentum_update(state.params, state.params_k, momentum)
-        keys, stats_k = key_forwards(params_k, state.batch_stats_k, batch)
+    def one_micro(params, params_k, stats_k, batch_stats, queues, mb, rng):
+        """One forward's worth of MoCo state evolution: momentum EMA
+        BEFORE key forwards (modeling.py:368-372), grads vs the CURRENT
+        queue snapshot, then enqueue (modeling.py:412)."""
+        params_k = momentum_update(params, params_k, momentum)
+        keys, stats_k = key_forwards(params_k, stats_k, mb)
 
-        def wrapped(params, b, r):
-            return loss_fn(params, b, r, keys, state.queues,
-                           state.batch_stats)
+        def wrapped(p, b, r):
+            return loss_fn(p, b, r, keys, queues, batch_stats)
 
-        grads, aux = _accumulate(wrapped, state.params, batch, n_accum,
-                                 rng=rng)
-        batch_stats = aux.pop("batch_stats")
-
-        # enqueue global-batch keys (modeling.py:412)
-        queues = state.queues.enqueue(
+        grads, aux = jax.grad(wrapped, has_aux=True)(params, mb, rng)
+        new_batch_stats = aux.pop("batch_stats")
+        queues = queues.enqueue(
             keys["v_k"], keys["tag_k"], keys["title_k"], keys["frame_k"],
             keys["frame_proj_k"])
+        return params_k, stats_k, new_batch_stats, queues, grads, aux
+
+    def step(state: PretrainState, batch: Dict, rng: jax.Array
+             ) -> Tuple[PretrainState, Dict]:
+        if n_accum == 1:
+            (params_k, stats_k, batch_stats, queues, grads,
+             aux) = one_micro(state.params, state.params_k,
+                              state.batch_stats_k, state.batch_stats,
+                              state.queues, batch, rng)
+        else:
+            micro = _split_microbatches(batch, n_accum)
+            rngs = jax.random.split(rng, n_accum)
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32),
+                state.params)
+
+            def body(carry, xs):
+                params_k, stats_k, batch_stats, queues, gacc = carry
+                mb, r = xs
+                (params_k, stats_k, batch_stats, queues, grads,
+                 aux) = one_micro(state.params, params_k, stats_k,
+                                  batch_stats, queues, mb, r)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                return (params_k, stats_k, batch_stats, queues, gacc), aux
+
+            carry0 = (state.params_k, state.batch_stats_k,
+                      state.batch_stats, state.queues, zero)
+            (params_k, stats_k, batch_stats, queues,
+             grads), auxes = jax.lax.scan(body, carry0, (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+            aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -1,6 +1,7 @@
 """FramePack container, frame sampling, and device-side image op tests."""
 
 import io
+import os
 
 import jax
 import jax.numpy as jnp
@@ -207,3 +208,19 @@ def test_process_count_must_divide_batch():
     with np.testing.assert_raises(ValueError):
         BatchLoader(_IdxDataset(8), batch_size=9, process_index=0,
                     process_count=2)
+
+
+def test_bundled_vatex_manifests_present():
+    """The reference ships its VATEX split lists (tools/vatex_txt/); the
+    registry falls back to the bundled copies when the data dir lacks
+    them. 25,991/1,500/1,500 ids (SURVEY §2 manifest row)."""
+    from hmmc_tpu.data.registry import _BUNDLED_VATEX_LISTS
+
+    counts = {"train_list.txt": 25991, "val_list.txt": 1500,
+              "test_list.txt": 1500}
+    for name, n in counts.items():
+        p = os.path.join(_BUNDLED_VATEX_LISTS, name)
+        assert os.path.isfile(p), p
+        with open(p, encoding="utf-8") as f:
+            ids = [l for l in f.read().splitlines() if l]
+        assert len(ids) == n, (name, len(ids))

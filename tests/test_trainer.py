@@ -78,7 +78,7 @@ def test_finetune_grad_accumulation_matches():
     assert np.isfinite(float(m["loss"]))
 
 
-def _pretrain_setup(dataset="msrvtt"):
+def _pretrain_setup(dataset="msrvtt", n_accum=1):
     rng = np.random.default_rng(2)
     task = TaskConfig(do_pretrain=True, dataset=dataset,
                       contrast_num_negative=32, max_frames=F,
@@ -105,7 +105,7 @@ def _pretrain_setup(dataset="msrvtt"):
     state = PretrainState.create(variables, tx, queues)
     step = make_pretrain_step(
         model, tx, TINY_CROSS, task, mask_token_id=254, pad_token_id=255,
-        cls_token_id=1)
+        cls_token_id=1, n_accum=n_accum)
     return state, step, batch
 
 
@@ -241,3 +241,41 @@ def test_finetune_step_with_frame_mask():
     _, mp = step_p(s_plain, dict(batch))
     assert np.isfinite(float(mm["loss"]))
     assert float(mm["loss"]) != float(mp["loss"])
+
+
+def test_pretrain_grad_accumulation_per_micro_queue():
+    """n_accum=2 must run EMA -> key forward -> enqueue PER MICRO-BATCH
+    (the reference's _momentum_update/_dequeue_and_enqueue live inside
+    forward, modeling.py:368-412, so the queue steps once per forward even
+    under accumulation). Checks: ptr advances by the FULL batch; enqueued
+    columns equal the normalized title keys in batch order (the first EMA
+    is identity since params_k starts as a copy of params); the VTM loss
+    differs from the unaccumulated step because micro 2's negatives
+    include micro 1's keys."""
+    from hmmc_tpu.models.pretrain import BirdPretrainModel
+
+    state, step2, batch = _pretrain_setup(n_accum=2)
+    mesh = make_mesh(MeshSpec(dp=8))
+    batch = shard_batch(mesh, batch)
+    ptr0 = int(state.queues.ptr)
+
+    model = BirdPretrainModel(TINY, TINY_CROSS, vocab_size=256)
+    title_k = model.apply(
+        {"params": {"text_encoder": state.params["text_encoder"]}},
+        batch["title_ids"], batch["title_mask"], method="encode_text")
+    expect = np.asarray(title_k)
+    expect = expect / np.linalg.norm(expect, axis=-1, keepdims=True)
+
+    state2, m2 = step2(state, batch, jax.random.PRNGKey(3))
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        assert np.isfinite(float(m2[k])), k
+    assert int(state2.queues.ptr) == (ptr0 + B) % 32
+    got = np.asarray(state2.queues.title_cross)[:, ptr0:ptr0 + B].T
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    # fresh identical setup, no accumulation: VTM must differ (same
+    # queues at micro 1, but micro 2 contrasts against micro 1's keys)
+    state1, step1, batch1 = _pretrain_setup(n_accum=1)
+    batch1 = shard_batch(mesh, batch1)
+    _, m1 = step1(state1, batch1, jax.random.PRNGKey(3))
+    assert not np.isclose(float(m1["loss_VTM"]), float(m2["loss_VTM"]))
