@@ -28,7 +28,17 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 250.0 / 8.0   # 8x V100, README.md:54
 
 
-def build(batch_size: int):
+def _enable_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/hmmc_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def build(batch_size: int, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +47,10 @@ def build(batch_size: int):
     from hmmc_tpu.train.optimization import build_optimizer
     from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
 
+    _enable_cache()
     arch = ClipArch.by_name("ViT-B/32")
     cross = CrossConfig()
-    model = BirdModel(arch, cross, dtype=jnp.bfloat16)
+    model = BirdModel(arch, cross, dtype=jnp.bfloat16, remat=remat)
 
     rng = np.random.default_rng(0)
     f, l = 12, 32
@@ -72,8 +83,9 @@ def build(batch_size: int):
     return step, state, batch
 
 
-def run(batch_size: int, warmup: int = 2, iters: int = 20) -> float:
-    step, state, batch = build(batch_size)
+def run(batch_size: int, warmup: int = 2, iters: int = 20,
+        remat=False) -> float:
+    step, state, batch = build(batch_size, remat=remat)
     for _ in range(warmup):
         state, metrics = step(state, batch)
     float(metrics["loss"])  # force completion of the warmup chain

@@ -179,7 +179,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots" (selective)
     causal: bool = False
 
     @nn.compact
@@ -187,7 +187,17 @@ class Transformer(nn.Module):
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         body = _ScanBlock
         if self.remat:
-            body = nn.remat(body, prevent_cse=False)
+            # remat=True: full-block rematerialization. remat="dots":
+            # selective — matmul outputs are saved, elementwise/LN/GELU
+            # recomputed (the cheap-recompute policy; trades ~zero extra
+            # MXU work for most of the activation-memory win)
+            policy = None
+            if self.remat == "dots":
+                import jax
+
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable)
+            body = nn.remat(body, prevent_cse=False, policy=policy)
         stack = nn.scan(
             body,
             variable_axes={"params": 0},

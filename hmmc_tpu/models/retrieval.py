@@ -44,7 +44,7 @@ class BirdModel(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots" (selective)
     chinese_vocab_size: int = 21128
 
     def setup(self):

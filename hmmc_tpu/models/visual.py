@@ -39,7 +39,7 @@ class VisualEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots" (selective)
 
     @nn.compact
     def __call__(

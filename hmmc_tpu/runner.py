@@ -365,9 +365,11 @@ def maybe_init_multihost(args) -> None:
 
 def _enable_compile_cache(args) -> None:
     """Persistent XLA compilation cache under output_dir (first compile of
-    the ViT-B train step is ~20-40s; repeat launches hit the cache)."""
+    the ViT-B train step is ~20-40s; repeat launches hit the cache). An
+    already-configured cache dir (e.g. the test suite's shared one) is
+    respected."""
     out = getattr(args, "output_dir", None)
-    if out:
+    if out and not jax.config.jax_compilation_cache_dir:
         cache = os.path.join(out, ".jax_cache")
         os.makedirs(cache, exist_ok=True)
         try:

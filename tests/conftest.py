@@ -16,6 +16,16 @@ import jax  # noqa: E402
 # override must happen in-process, before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite's wall-clock is dominated by
+# repeated jit compiles of near-identical tiny-arch steps; cache them
+# across tests AND across runs. (runner._enable_compile_cache respects an
+# already-configured cache dir, so CLI-smoke tests share this one.)
+_cache = os.path.join(
+    os.path.expanduser("~"), ".cache", "hmmc_tpu_test_xla")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
