@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -97,6 +98,41 @@ def run(batch_size: int, warmup: int = 2, iters: int = 20,
     return batch_size * iters / dt
 
 
+# peak dense bf16 FLOP/s per chip by device generation
+_PEAK_BF16 = {
+    "v4": 275e12, "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        pass
+    gen = (os.environ.get("PALLAS_AXON_TPU_GEN") or kind or "v5e").lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in gen or key in kind:
+            return peak
+    return 197e12
+
+
+def measure_mfu(batch_size: int, clips_per_sec: float, remat=False) -> float:
+    """MFU = (XLA-reported step FLOPs x steps/sec) / peak chip FLOP/s.
+    The compile is cached from the timing run, so lowering again is
+    cheap."""
+    step, state, batch = build(batch_size, remat=remat)
+    cost = step.lower(state, batch).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost["flops"])
+    steps_per_sec = clips_per_sec / batch_size
+    return flops * steps_per_sec / _peak_flops()
+
+
 def main():
     n_chips = 1
     try:
@@ -106,13 +142,16 @@ def main():
     except Exception:
         pass
 
-    # batch 16 fits the 16GB v5e HBM (batch 32 needs ~20GB of temps and
-    # fails remote compile); larger batches with remat measured SLOWER
-    # (178 clips/s @32 vs 202 @16 — remat recompute outweighs utilization)
+    # batch 16 measured fastest on the 16GB v5e: 201.5 clips/s vs 190.5
+    # @24+dots-remat, 189 @24 plain, 182 @32+dots, 178 @32 full-remat —
+    # per-step time scales ~linearly with batch beyond 16 (192 images/step
+    # already saturates the chip), so larger batches/remat only add cost
     clips_per_sec = None
+    used_batch = None
     for batch_size in (16, 8):
         try:
             clips_per_sec = run(batch_size)
+            used_batch = batch_size
             break
         except Exception as e:  # OOM at this batch — step down
             print(f"batch {batch_size} failed: {type(e).__name__}: "
@@ -123,12 +162,21 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
+    mfu = None
+    try:
+        mfu = round(measure_mfu(used_batch, clips_per_sec), 4)
+    except Exception as e:
+        print(f"mfu unavailable: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
+
     per_chip = clips_per_sec / n_chips
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+        "mfu": mfu,
+        "batch_size": used_batch,
     }))
 
 

@@ -111,8 +111,12 @@ def vatex_split(subset: str, train: bool):
             cand = os.path.join(_BUNDLED_VATEX_LISTS, list_file)
             if os.path.isfile(cand):
                 list_path = cand
+        # pretrain decodes at aug geometry (256, no center-crop) like the
+        # bird pretrain source, so the device-side RandomResizedCrop sees
+        # the same crop-scale distribution on both pretrain datasets
+        mode = "aug" if subset == "pretrain" else "eval"
         ds = VatexDataset(
-            _source(task, "vatex", "eval"), data_path=base, subset=subset,
+            _source(task, "vatex", mode), data_path=base, subset=subset,
             tokenizer=tokenizer, language=task.language,
             max_words=task.max_words, max_frames=task.max_frames,
             frame_sample=task.frame_sample if train else "uniform",
