@@ -85,17 +85,23 @@ def build(batch_size: int, remat=False):
 
 
 def run(batch_size: int, warmup: int = 2, iters: int = 20,
-        remat=False) -> float:
+        remat=False, windows: int = 2) -> float:
+    """Best of ``windows`` timed windows of ``iters`` chained steps each
+    (robust steady-state estimate — a single window is vulnerable to
+    one-off host/tunnel hiccups)."""
     step, state, batch = build(batch_size, remat=remat)
     for _ in range(warmup):
         state, metrics = step(state, batch)
     float(metrics["loss"])  # force completion of the warmup chain
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])  # scalar fetch forces the full chain
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])  # scalar fetch forces the full chain
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * iters / dt)
+    return best
 
 
 # peak dense bf16 FLOP/s per chip by device generation

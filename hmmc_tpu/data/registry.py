@@ -61,9 +61,13 @@ def _loader(dataset, task: TaskConfig, train: bool) -> BatchLoader:
         pi, pc = jax.process_index(), jax.process_count()
     else:
         pi, pc = 0, 1
+    # Eval batch size only sets host feed granularity (the Evaluator
+    # re-blocks on device, and multi-sentence cut-offs are global-index
+    # based), so cap it: the reference default --batch_size_val 3500 would
+    # stack a ~6 GB uint8 video batch on the host.
+    bs = task.batch_size if train else min(task.batch_size_val, 512)
     return BatchLoader(
-        dataset,
-        batch_size=task.batch_size if train else task.batch_size_val,
+        dataset, batch_size=bs,
         shuffle=train, drop_last=train,
         num_workers=max(1, task.num_thread_reader), seed=task.seed,
         process_index=pi, process_count=pc)
