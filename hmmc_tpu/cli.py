@@ -31,6 +31,10 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--do_params", action="store_true")
+    p.add_argument("--do_extract", action="store_true",
+                   help="encode the eval split to features.npz under "
+                        "output_dir (offline retrieval / serving; consumed "
+                        "by tools/retrieve.py)")
     p.add_argument("--use_frame_fea", action="store_true")
     p.add_argument("--task", type=str, default="retrieval",
                    choices=["retrieval_VT", "retrieval"])

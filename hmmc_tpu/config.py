@@ -156,6 +156,7 @@ class TaskConfig:
     do_train: bool = False
     do_eval: bool = False
     do_params: bool = False
+    do_extract: bool = False         # feature-bank export (serving)
     task: str = "retrieval"          # retrieval | retrieval_VT
     dataset: str = "msrvtt"          # bird | msrvtt | vatex
     language: str = "english"        # english | chinese
@@ -210,9 +211,11 @@ class TaskConfig:
     def validate(self) -> None:
         if self.gradient_accumulation_steps < 1:
             raise ValueError("gradient_accumulation_steps must be >= 1")
-        if not (self.do_train or self.do_eval or self.do_params or self.do_pretrain):
+        if not (self.do_train or self.do_eval or self.do_params
+                or self.do_pretrain or self.do_extract):
             raise ValueError(
-                "At least one of do_pretrain/do_train/do_eval/do_params must be set")
+                "At least one of do_pretrain/do_train/do_eval/do_params/"
+                "do_extract must be set")
         if self.task not in ("retrieval", "retrieval_VT"):
             raise ValueError(f"unknown task {self.task!r}")
         if self.language not in ("english", "chinese"):

@@ -298,6 +298,55 @@ def run_pretrain(args, log=None) -> None:
     writer.close()
 
 
+def _dataset_video_ids(dataset):
+    ids = getattr(dataset, "video_ids", None)
+    if ids is not None:
+        return list(ids)
+    data = getattr(dataset, "data", None)
+    if data is not None and "video_id" in getattr(data, "columns", ()):
+        return list(data["video_id"].values)
+    return None
+
+
+def run_extract(args, log=None) -> str:
+    """--do_extract: encode the eval split to a feature bank
+    (features.npz under output_dir) for offline retrieval / serving —
+    phase 1 of eval_epoch (main_task_retrieval.py:383-441) as a reusable
+    artifact. ``tools/retrieve.py`` consumes it."""
+    import numpy as np
+
+    task, cross = _task_with_resolution(args)
+    log = log or setup_logging(task.output_dir)
+    set_seed(task.seed)
+    tokenizer = make_tokenizer(task)
+    split = "test" if "test" in DATALOADER_DICT[task.dataset] else "val"
+    loader, dataset = DATALOADER_DICT[task.dataset][split](task, tokenizer)
+    model, variables = factory.build_model(
+        task, cross, vocab_size=tokenizer.vocab_size,
+        clip_model_path=args.clip_model, init_model_path=task.init_model)
+    ev = Evaluator(model, task, weight_title=cross.weight_title)
+    q, v, f, t, multi, cut_off = ev.cache_features(
+        variables["params"], loader, dataset)
+    scale = float(jnp.minimum(jnp.exp(
+        variables["params"]["text_encoder"]["logit_scale"]), 100.0))
+    out = os.path.join(task.output_dir or ".", "features.npz")
+    payload = {"query": q, "video": v, "frames": f,
+               "logit_scale": np.float32(scale),
+               "multi_sentence": np.bool_(multi),
+               "cut_off_points": np.asarray(cut_off, np.int64),
+               "top_frames": np.int32(task.top_frames),
+               "use_frame_fea": np.bool_(task.use_frame_fea)}
+    if t is not None:
+        payload["title"] = t
+    ids = _dataset_video_ids(dataset)
+    if ids is not None:
+        payload["video_ids"] = np.asarray(ids)
+    np.savez(out, **payload)
+    log.info("wrote %d query / %d video features to %s",
+             len(q), len(v), out)
+    return out
+
+
 def run_params(args, log=None) -> Dict[str, float]:
     """--do_params: parameter count + analytical forward FLOPs via XLA cost
     analysis (reference uses thop.profile, main_task_retrieval.py:623-633)."""
@@ -389,5 +438,7 @@ def main(args) -> None:
         run_pretrain(args)
     elif args.do_train:
         run_finetune(args)
+    elif getattr(args, "do_extract", False):
+        run_extract(args)
     elif args.do_eval:
         run_eval(args)

@@ -256,3 +256,41 @@ def test_run_pretrain_vatex(data_dir, cross_json, tmp_path):
                   "--contrast_num_negative", "16"])
     run_pretrain(args)
     assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_run_extract_and_retrieve(data_dir, cross_json, tmp_path):
+    """--do_extract writes a feature bank; tools/retrieve.py reproduces
+    run_eval's metrics from the bank alone (serving path: phase-1 features
+    as a reusable artifact)."""
+    import sys
+
+    from hmmc_tpu.runner import run_eval, run_extract
+
+    out = str(tmp_path / "ex")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_extract", "--dataset", "msrvtt"])
+    bank_path = run_extract(args)
+    assert os.path.isfile(bank_path)
+    bank = dict(np.load(bank_path, allow_pickle=False))
+    assert bank["query"].shape[0] == N_VIDEOS
+    assert bank["video"].shape[0] == N_VIDEOS
+    assert list(bank["video_ids"]) == [f"video{i}" for i in range(N_VIDEOS)]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from tools.retrieve import similarity_from_bank
+
+    from hmmc_tpu.metrics import logging_rank
+    import logging
+
+    sim = similarity_from_bank(bank)
+    m_bank = logging_rank(sim, bool(bank["multi_sentence"]),
+                          list(bank["cut_off_points"]),
+                          logging.getLogger("t"))
+
+    args_eval = _args(data_dir, cross_json, str(tmp_path / "ev"),
+                      ["--do_eval", "--dataset", "msrvtt"])
+    m_eval = run_eval(args_eval)
+    for k in ("R1", "R5", "R10", "MR", "MeanR"):
+        np.testing.assert_allclose(m_bank[k], m_eval[k], atol=1e-3,
+                                   err_msg=k)
