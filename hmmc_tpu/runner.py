@@ -338,6 +338,7 @@ def run_extract(args, log=None) -> str:
                "use_frame_fea": np.bool_(task.use_frame_fea)}
     if t is not None:
         payload["title"] = t
+        payload["weight_title"] = np.float32(cross.weight_title)
     ids = _dataset_video_ids(dataset)
     if ids is not None:
         payload["video_ids"] = np.asarray(ids)

@@ -38,6 +38,11 @@ def similarity_from_bank(bank) -> np.ndarray:
         k = min(int(bank["top_frames"]), fl.shape[-1])
         top = np.sort(fl, axis=-1)[..., -k:]
         sim = sim + top.mean(axis=-1)
+    if "title" in bank:
+        # retrieval_VT: mix query-vs-title similarity
+        # (main_task_retrieval.py:516-518)
+        sim_title = scale * (_norm(bank["query"]) @ _norm(bank["title"]).T)
+        sim = sim + float(bank.get("weight_title", 0.5)) * sim_title
     return sim
 
 
