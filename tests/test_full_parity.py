@@ -444,3 +444,45 @@ def test_bert_adam_trajectory_matches_reference():
     # frozen projector never moves (lr group 0, weight decay scaled by lr)
     np.testing.assert_array_equal(ours["t_projector"]["kernel"],
                                   t_proj_init)
+
+
+def test_chinese_tower_matches_hf_bert():
+    """Our BertEncoder vs transformers.BertModel on identical weights:
+    the Chinese text tower is AutoModel.from_pretrained in the reference
+    (module_cross.py:260-265), so HF IS the reference implementation here.
+    Covers embeddings + token types, post-LN blocks, the additive padding
+    mask, and the tanh pooler."""
+    from transformers import BertConfig, BertModel
+
+    from hmmc_tpu.models.text import BertEncoder
+    from hmmc_tpu.train.checkpoint import import_hf_bert
+
+    cfg = BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=24, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0)
+    hf = BertModel(cfg)
+    hf.eval()
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = import_hf_bert(sd)
+    enc = BertEncoder(vocab_size=64, hidden_size=32, num_layers=2,
+                      num_heads=2, intermediate_size=64,
+                      max_position_embeddings=24)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 64, size=(3, 10)).astype(np.int64)
+    mask = np.ones((3, 10), np.int64)
+    mask[0, 7:] = 0
+    mask[2, 4:] = 0
+
+    hidden, pooled = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask))
+    with torch.no_grad():
+        out = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+    np.testing.assert_allclose(
+        np.asarray(hidden), out.last_hidden_state.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.pooler_output.numpy(), atol=2e-5)
