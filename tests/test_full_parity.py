@@ -486,3 +486,63 @@ def test_chinese_tower_matches_hf_bert():
         np.asarray(hidden), out.last_hidden_state.numpy(), atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(pooled), out.pooler_output.numpy(), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# pretrain contrast losses vs torch mirrors (modeling.py:286-332)
+# ---------------------------------------------------------------------------
+
+def _t_moco(q, k, queue, temp):
+    """contrastive_loss (modeling.py:286-313): l_pos = diag(q k^T),
+    l_neg = q @ queue, CE over [1+K] with target 0, temperature T."""
+    q = torch.nn.functional.normalize(q, dim=1)
+    k = torch.nn.functional.normalize(k, dim=1)
+    l_pos = torch.diag(q @ k.T).reshape(q.shape[0], 1)
+    l_neg = q @ queue
+    logits = torch.cat([l_pos, l_neg], dim=1) / temp
+    labels = torch.zeros(logits.shape[0], dtype=torch.long)
+    return torch.nn.functional.cross_entropy(logits, labels)
+
+
+def test_pretrain_contrast_losses_match_torch():
+    from hmmc_tpu.losses import (frame_cross_loss, frame_self_loss,
+                                 moco_contrastive)
+
+    rng = np.random.default_rng(9)
+    Bq, F_, H, K, temp = 6, 4, 16, 12, 0.07
+    frame = rng.normal(size=(Bq, F_, H)).astype(np.float32)
+    frame_k = rng.normal(size=(Bq, F_, H)).astype(np.float32)
+    text = rng.normal(size=(Bq, H)).astype(np.float32)
+    text_k = rng.normal(size=(Bq, H)).astype(np.float32)
+    qf = rng.normal(size=(H, K)).astype(np.float32)
+    qf /= np.linalg.norm(qf, axis=0, keepdims=True)
+    qt = rng.normal(size=(H, K)).astype(np.float32)
+    qt /= np.linalg.norm(qt, axis=0, keepdims=True)
+
+    # moco_contrastive == contrastive_loss
+    ours = float(moco_contrastive(
+        jnp.asarray(text), jnp.asarray(text_k), jnp.asarray(qt), temp))
+    ref = float(_t_moco(torch.tensor(text), torch.tensor(text_k),
+                        torch.tensor(qt), temp))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    # frame_self_loss == FAM (modeling.py:315-323): adjacent pairs,
+    # both directions, averaged over F-1
+    ours = float(frame_self_loss(
+        jnp.asarray(frame), jnp.asarray(frame_k), jnp.asarray(qf), temp))
+    tf, tfk = torch.tensor(frame), torch.tensor(frame_k)
+    ref = sum(_t_moco(tf[:, i], tfk[:, i + 1], torch.tensor(qf), temp)
+              + _t_moco(tf[:, i + 1], tfk[:, i], torch.tensor(qf), temp)
+              for i in range(F_ - 1)) / (F_ - 1)
+    np.testing.assert_allclose(ours, float(ref), atol=1e-5)
+
+    # frame_cross_loss == FTM (modeling.py:325-332): per frame,
+    # text-vs-frame_k + frame-vs-text_k, averaged over F
+    ours = float(frame_cross_loss(
+        jnp.asarray(frame), jnp.asarray(frame_k), jnp.asarray(qf),
+        jnp.asarray(text), jnp.asarray(text_k), jnp.asarray(qt), temp))
+    tt, ttk = torch.tensor(text), torch.tensor(text_k)
+    ref = sum(_t_moco(tt, tfk[:, i], torch.tensor(qf), temp)
+              + _t_moco(tf[:, i], ttk, torch.tensor(qt), temp)
+              for i in range(F_)) / F_
+    np.testing.assert_allclose(ours, float(ref), atol=1e-5)
