@@ -205,3 +205,32 @@ def test_batch_loader_epoch_shuffle(store, tokenizer, tmp_path):
     b1 = [b["idx"].tolist() for b in loader]
     assert b0 != b1                            # reshuffled across epochs
     assert len(b0) == 2                        # drop_last: 10 -> 2 batches
+
+
+def test_eval_similarity_composition_matches_torch():
+    """Evaluator.similarity (loose_similarity + topk-frame mean) must
+    match the reference's _run_on_single_gpu composition
+    (main_task_retrieval.py:321-357 + 512-515) on raw features."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    Q, V, F_, H, topk = 9, 7, 5, 16, 3
+    q = rng.normal(size=(Q, H)).astype(np.float32)
+    v = rng.normal(size=(V, H)).astype(np.float32)
+    f = rng.normal(size=(V, F_, H)).astype(np.float32)
+    scale = 42.0
+
+    task = TaskConfig(do_eval=True, top_frames=topk, use_frame_fea=True)
+    model = BirdModel(TINY, TINY_CROSS)
+    ev = Evaluator(model, task)
+    params = {"text_encoder": {"logit_scale": np.float32(np.log(scale))}}
+    sim = ev.similarity(params, q, v, f)
+
+    def tnorm(x):
+        return x / x.norm(dim=-1, keepdim=True)
+
+    tq, tv, tf = torch.tensor(q), torch.tensor(v), torch.tensor(f)
+    ref = scale * (tnorm(tq) @ tnorm(tv).T)
+    fl = scale * torch.einsum("qh,vfh->qvf", tnorm(tq), tnorm(tf))
+    ref = ref + torch.topk(fl, k=topk, dim=2)[0].mean(dim=2)
+    np.testing.assert_allclose(sim, ref.numpy(), atol=2e-4)
