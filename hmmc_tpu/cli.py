@@ -93,6 +93,12 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                    help="tensor-parallel shards (Megatron-style placement "
                         "over the mesh's model axis)")
     p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--use_randaugment", action="store_true",
+                   help="stack device-side RandAugment(N, M) on the "
+                        "pretrain SimCLR aug (the reference imports "
+                        "RandomAugment but never wires it)")
+    p.add_argument("--randaugment_n", type=int, default=2)
+    p.add_argument("--randaugment_m", type=int, default=10)
     p.add_argument("--use_frame_mask", action="store_true",
                    help="mask zero-padded frames in the temporal "
                         "transformer (fixes a reference quirk; off = "

@@ -157,6 +157,9 @@ class TaskConfig:
     do_eval: bool = False
     do_params: bool = False
     do_extract: bool = False         # feature-bank export (serving)
+    use_randaugment: bool = False    # device-side RandAugment in pretrain
+    randaugment_n: int = 2
+    randaugment_m: int = 10
     task: str = "retrieval"          # retrieval | retrieval_VT
     dataset: str = "msrvtt"          # bird | msrvtt | vatex
     language: str = "english"        # english | chinese

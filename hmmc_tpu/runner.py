@@ -49,12 +49,22 @@ def _prepare_finetune_batch(batch: Dict) -> Dict:
     return out
 
 
-def _prepare_pretrain_batch(batch: Dict, rng, out: int = 224) -> Dict:
-    """SimCLR augmentation on device over the flattened frame axis."""
+def _prepare_pretrain_batch(batch: Dict, rng, out: int = 224,
+                            randaugment=None) -> Dict:
+    """SimCLR augmentation on device over the flattened frame axis;
+    optional RandAugment(N, M) stacked on top (--use_randaugment — the
+    reference imports RandomAugment but never wires it,
+    dataloader_bird.py:14; here it is an opt-in device-side op)."""
     v = jnp.asarray(batch["video"])
     b, f = v.shape[0], v.shape[1]
     flat = v.reshape(b * f, *v.shape[2:])
-    aug = image_ops.simclr_augment(rng, flat, out=out)
+    r_simclr, r_ra = jax.random.split(rng)
+    aug = image_ops.simclr_augment(r_simclr, flat, out=out)
+    if randaugment:
+        from hmmc_tpu.ops.randaugment import randaugment as ra
+
+        n_ops, magnitude = randaugment
+        aug = ra(r_ra, aug, n_ops=n_ops, magnitude=magnitude)
     out_batch = {"video": aug.reshape(b, f, out, out, 3),
                  "title_ids": jnp.asarray(batch["title_ids"]),
                  "title_mask": jnp.asarray(batch["title_mask"])}
@@ -259,8 +269,11 @@ def run_pretrain(args, log=None) -> None:
                 batch = dict(batch)
                 batch.setdefault("title_ids", batch.pop("query_ids"))
                 batch.setdefault("title_mask", batch.pop("query_mask"))
+            ra = ((task.randaugment_n, task.randaugment_m)
+                  if task.use_randaugment else None)
             return shard_batch(mesh, _prepare_pretrain_batch(
-                batch, r_aug, out=task.image_resolution or 224))
+                batch, r_aug, out=task.image_resolution or 224,
+                randaugment=ra))
 
         for dev_batch in device_prefetch(iter(loader), place):
             rng, r_step = jax.random.split(rng)

@@ -77,3 +77,29 @@ def test_randaugment_batched_deterministic():
     c = ra.randaugment(jax.random.PRNGKey(1), imgs)
     assert not np.allclose(np.asarray(a), np.asarray(c))
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_prepare_pretrain_batch_randaugment_wiring():
+    """--use_randaugment stacks RandAugment on the pretrain SimCLR aug
+    (opt-in wiring of the reference's dormant RandomAugment import)."""
+    import jax
+
+    from hmmc_tpu.runner import _prepare_pretrain_batch
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": rng.integers(0, 255, size=(2, 3, 36, 36, 3)).astype(
+            np.uint8),
+        "title_ids": np.ones((2, 8), np.int32),
+        "title_mask": np.ones((2, 8), np.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    plain = _prepare_pretrain_batch(dict(batch), key, out=32)
+    ra = _prepare_pretrain_batch(dict(batch), key, out=32,
+                                 randaugment=(2, 10))
+    assert ra["video"].shape == plain["video"].shape == (2, 3, 32, 32, 3)
+    v = np.asarray(ra["video"])
+    assert np.isfinite(v).all()
+    # the same rng produces the same SimCLR base, so any difference is
+    # RandAugment actually applying
+    assert not np.allclose(v, np.asarray(plain["video"]))
