@@ -294,3 +294,38 @@ def test_run_extract_and_retrieve(data_dir, cross_json, tmp_path):
     for k in ("R1", "R5", "R10", "MR", "MeanR"):
         np.testing.assert_allclose(m_bank[k], m_eval[k], atol=1e-3,
                                    err_msg=k)
+
+
+def test_run_eval_msvd(cross_json, tmp_path):
+    """MSVD end-to-end through the registry + runner (the reference ships
+    this loader but never registers it, dataloader.py:172-177 — here it is
+    a first-class dataset)."""
+    cv2 = pytest.importorskip("cv2")
+    import pickle
+
+    from hmmc_tpu.runner import run_eval
+
+    root = tmp_path / "data"
+    msvd = root / "msvd"
+    vids = msvd / "videos"
+    vids.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name in ("vidA", "vidB", "vidC"):
+        w = cv2.VideoWriter(str(vids / f"{name}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 48))
+        for i in range(15):
+            frame = np.full((48, 48, 3), (i * 17) % 255, np.uint8)
+            frame[:8, :8] = rng.integers(0, 255, (8, 8, 3))
+            w.write(frame)
+        w.release()
+    (msvd / "test_list.txt").write_text("vidA\nvidB\nvidC\n")
+    captions = {"vidA": [["a", "dog", "runs"], ["dog", "running"]],
+                "vidB": [["a", "cat", "sits"]],
+                "vidC": [["bird", "flies"]]}
+    with open(msvd / "raw-captions.pkl", "wb") as f:
+        pickle.dump(captions, f)
+
+    args = _args(str(root), cross_json, str(tmp_path / "out"),
+                 ["--do_eval", "--dataset", "msvd"])
+    metrics = run_eval(args)
+    assert np.isfinite(metrics["R1"]) and metrics["R10"] <= 100.0
