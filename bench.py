@@ -148,10 +148,12 @@ def main():
     except Exception:
         pass
 
-    # batch 16 measured fastest on the 16GB v5e: 201.5 clips/s vs 190.5
-    # @24+dots-remat, 189 @24 plain, 182 @32+dots, 178 @32 full-remat —
-    # per-step time scales ~linearly with batch beyond 16 (192 images/step
-    # already saturates the chip), so larger batches/remat only add cost
+    # batch 16 measured fastest on the 16GB v5e with the fully-unrolled
+    # layer scan: 244 clips/s vs 236 @24, 232 @32 (with or without
+    # dots-remat) — 192 images/step already saturates the chip, so larger
+    # batches/remat only add cost. (Rolled-scan numbers for reference:
+    # 201.5 @16; full unroll removes the backward's per-layer
+    # copy+dynamic-update-slice chain, ~26% of the rolled step.)
     clips_per_sec = None
     used_batch = None
     for batch_size in (16, 8):

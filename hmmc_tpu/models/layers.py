@@ -181,6 +181,14 @@ class Transformer(nn.Module):
     use_pallas: bool = False
     remat: Any = False  # False | True (full) | "dots" (selective)
     causal: bool = False
+    # lax.scan unroll factor; 0 = full unroll (default). Parameters stay
+    # stacked [layers, ...] (checkpoint layout unchanged) but the loop
+    # body unrolls, letting XLA alias the backward's per-layer grad
+    # writes instead of chaining copy+dynamic-update-slice per iteration
+    # (profiled at ~26% of the rolled train step; full unroll measured
+    # 244 vs 203 clips/s on ViT-B/32 @ v5e — partial unroll=4 is WORSE,
+    # 122, so the knob is full-or-rolled in practice).
+    unroll: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -204,6 +212,7 @@ class Transformer(nn.Module):
             split_rngs={"params": True},
             length=self.layers,
             in_axes=nn.broadcast,
+            unroll=min(self.unroll or self.layers, self.layers),
         )(self.num_heads, self.dtype, self.param_dtype, self.use_pallas,
           self.causal, name="resblocks")
         x, _ = stack(x, mask)
