@@ -154,6 +154,10 @@ class BertEncoder(nn.Module):
             split_rngs={"params": True},
             length=self.num_layers,
             in_axes=nn.broadcast,
+            # full unroll like models.layers.Transformer: the scan
+            # backward's per-layer grad accumulation (copy + DUS chain)
+            # costs ~26% of a rolled train step
+            unroll=self.num_layers,
         )(self.num_heads, self.intermediate_size,
           layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
           param_dtype=self.param_dtype, name="layer")
