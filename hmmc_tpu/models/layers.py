@@ -10,10 +10,14 @@ Design notes (TPU-first, not a torch translation):
   conversion (module_clip.py:506-527);
 - LayerNorm always computes statistics in fp32 and casts back, matching the
   fp16-safe LayerNorm subclass of the reference (module_clip.py:217-223);
-- transformer layers are stacked with `nn.scan` so XLA compiles ONE layer
-  body regardless of depth (faster compiles, natural remat point). Layer
-  parameters get a leading [layers] axis; the checkpoint importer stacks
-  per-layer torch tensors accordingly.
+- transformer layers are stacked with `nn.scan`: layer parameters get a
+  leading [layers] axis and the checkpoint importer stacks per-layer
+  torch tensors accordingly. The scan BODY is fully unrolled by default
+  (`Transformer.unroll=0`): the rolled loop's backward accumulates
+  per-layer grads through a copy+dynamic-update-slice chain that costs
+  ~26% of the train step, while unrolling keeps the stacked layout and
+  lets XLA alias the writes (203 -> 244 clips/s measured). Set a finite
+  unroll only if compile time ever matters more than step time.
 """
 
 from __future__ import annotations
