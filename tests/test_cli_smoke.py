@@ -329,3 +329,78 @@ def test_run_eval_msvd(cross_json, tmp_path):
                  ["--do_eval", "--dataset", "msvd"])
     metrics = run_eval(args)
     assert np.isfinite(metrics["R1"]) and metrics["R10"] <= 100.0
+
+
+def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
+    """Serving path: RetrievalService answers queries against a
+    --do_extract bank (resident jitted text tower + [H, V] matmul), and
+    the HTTP wrapper round-trips /search + /healthz."""
+    import json as _json
+    import sys
+    import threading
+    import urllib.request
+
+    from hmmc_tpu.runner import run_extract
+
+    out = str(tmp_path / "svc")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_extract", "--dataset", "msrvtt"])
+    bank_path = run_extract(args)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.serve import RetrievalService, serve
+
+    sargs = _args(data_dir, cross_json, out,
+                  ["--do_eval", "--dataset", "msrvtt"])
+    sargs.features = bank_path
+    svc = RetrievalService(sargs)
+    res = svc.search("test sentence 3", topk=3)
+    assert len(res["results"]) == 3
+    assert res["latency_ms"] > 0
+    ids = {r["video_id"] for r in res["results"]}
+    assert ids <= {f"video{i}" for i in range(N_VIDEOS)}
+
+    port = 8123
+    t = threading.Thread(target=serve, args=(svc, port), daemon=True)
+    t.start()
+    deadline = 20
+    import time as _time
+    for _ in range(deadline * 10):
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                health = _json.loads(r.read())
+            break
+        except OSError:
+            _time.sleep(0.1)
+    assert health["ok"] and health["videos"] == N_VIDEOS
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/search",
+        data=_json.dumps({"text": "a clip about video2", "topk": 2}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out2 = _json.loads(r.read())
+    assert len(out2["results"]) == 2
+
+
+def test_validate_data_tool(data_dir, tmp_path):
+    """tools/validate_data.py: green on the synthetic layout, red on an
+    empty dir."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ok = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "validate_data.py"),
+         "--data_dir", data_dir, "--dataset", "msrvtt"],
+        capture_output=True, text=True)
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert "OK" in ok.stdout
+
+    bad = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "validate_data.py"),
+         "--data_dir", str(tmp_path / "empty"), "--dataset", "msrvtt"],
+        capture_output=True, text=True)
+    assert bad.returncode == 1
+    assert "MISS" in bad.stdout

@@ -1,0 +1,150 @@
+"""Minimal text->video retrieval server.
+
+Loads a checkpoint + a ``--do_extract`` feature bank, keeps the text
+encoder resident (jitted once), and answers queries over HTTP:
+
+  POST /search   {"text": "a dog catches a frisbee", "topk": 5}
+      -> {"results": [{"video_id": ..., "score": ...}, ...],
+          "latency_ms": ...}
+  GET  /healthz  -> {"ok": true, "videos": N}
+
+The video side is precomputed (the bank); per-query work is one
+tokenize + one jitted text-tower forward + one [1, H] x [H, V] matmul —
+the serving decomposition the two-phase evaluator already uses
+(eval_epoch phase 1/2, main_task_retrieval.py:383-519).
+
+  python tools/serve.py --features out/features.npz --cross_model ... \
+      [--init_model ckpt] [--clip_model ViT-B-32.pt] [--port 8765]
+
+Programmatic use: ``RetrievalService`` (used by the tests; the HTTP layer
+is a thin wrapper around it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class RetrievalService:
+    def __init__(self, args):
+        import jax
+
+        from hmmc_tpu import factory
+        from hmmc_tpu.cli import make_tokenizer, to_task_config
+        from hmmc_tpu.config import load_cross_config
+        from tools.retrieve import _norm
+
+        task = to_task_config(args)
+        cross = load_cross_config(task.cross_model)
+        if not task.image_resolution:
+            from hmmc_tpu.config import ClipArch
+
+            task = task.replace(image_resolution=ClipArch.by_name(
+                cross.pretrained_clip_name).image_resolution)
+        self.task = task
+        self.tokenizer = make_tokenizer(task)
+        self.model, variables = factory.build_model(
+            task, cross, vocab_size=self.tokenizer.vocab_size,
+            clip_model_path=args.clip_model, init_model_path=task.init_model)
+        self.params = variables["params"]
+
+        bank = dict(np.load(args.features, allow_pickle=False))
+        self.scale = float(bank["logit_scale"])
+        self.video = _norm(bank["video"].astype(np.float32))
+        self.video_ids = [str(v) for v in bank["video_ids"]] \
+            if "video_ids" in bank else [str(i) for i in range(len(self.video))]
+
+        import jax.numpy as jnp
+
+        def encode(params, ids, mask):
+            q = self.model.apply({"params": params}, ids, mask,
+                                 method="encode_text")
+            return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+        self._encode = jax.jit(encode)
+        # warm the compile so the first query isn't a compile
+        self.search("warmup query")
+
+    def search(self, text: str, topk: int = 5):
+        from hmmc_tpu.data.text import encode_text
+
+        t0 = time.perf_counter()
+        ids, mask = encode_text(self.tokenizer, text, self.task.max_words,
+                                self.task.language)
+        q = np.asarray(self._encode(self.params, ids[None], mask[None]))[0]
+        sim = self.scale * (self.video @ q)
+        order = np.argsort(-sim)[:topk]
+        latency = (time.perf_counter() - t0) * 1e3
+        return {
+            "results": [{"video_id": self.video_ids[i],
+                         "score": round(float(sim[i]), 4)} for i in order],
+            "latency_ms": round(latency, 2),
+        }
+
+
+def serve(service: RetrievalService, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "videos": len(service.video_ids)})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = service.search(str(req["text"]),
+                                     int(req.get("topk", 5)))
+                self._reply(200, out)
+            except Exception as e:  # surface errors as json, keep serving
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    print(f"serving on http://127.0.0.1:{port} "
+          f"({len(service.video_ids)} videos)", flush=True)
+    httpd.serve_forever()
+
+
+def main():
+    from hmmc_tpu.cli import get_args
+
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--features", required=True)
+    p.add_argument("--port", type=int, default=8765)
+    known, rest = p.parse_known_args()
+    # reuse the standard flag surface for model construction
+    args = get_args("HMMC-TPU retrieval server",
+                    argv=rest + ["--do_eval"]
+                    + ([] if "--output_dir" in rest
+                       else ["--output_dir", "/tmp/hmmc_serve"]))
+    args.features = known.features
+    serve(RetrievalService(args), known.port)
+
+
+if __name__ == "__main__":
+    main()
