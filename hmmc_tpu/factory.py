@@ -156,6 +156,32 @@ def build_model(task: TaskConfig, cross: CrossConfig,
                 sd, language=task.language, use_temp=task.use_temp,
                 pretrain=pretrain, proj_num_layers=cross.proj_num_layers,
                 pred_num_layers=cross.pred_num_layers)
+            if pretrain:
+                # momentum twins / queue buffers live OUTSIDE the module
+                # params here (PretrainState); stash them for the runner
+                # (the reference keeps them in the one state_dict,
+                # modeling.py:88-157)
+                extras: Dict[str, Any] = {}
+                pk: Dict[str, Any] = {}
+                for src, dst in (("text_encoder_k", "text_encoder"),
+                                 ("visual_encoder_k", "visual_encoder"),
+                                 ("t_projector_k", "t_projector"),
+                                 ("v_projector_k", "v_projector")):
+                    if src in imported["params"]:
+                        pk[dst] = imported["params"].pop(src)
+                if pk:
+                    extras["params_k"] = pk
+                stats = imported.get("batch_stats", {})
+                for src in ("t_projector_k", "v_projector_k"):
+                    if src in stats:
+                        k_stats = stats.pop(src)
+                        if src == "v_projector_k":
+                            extras["batch_stats_k"] = {"v_projector":
+                                                       k_stats}
+                if "queues" in imported:
+                    extras["queues"] = imported["queues"]
+                if extras:
+                    variables["_pretrain_import"] = extras
             params = ckpt.merge_params(params, imported["params"], logger)
             if "batch_stats" in imported and "batch_stats" in variables:
                 variables["batch_stats"] = ckpt.merge_params(

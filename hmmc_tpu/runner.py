@@ -216,6 +216,51 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     return best_metrics
 
 
+def _apply_pretrain_import(state, extra, log):
+    """Overlay momentum towers / key BN stats / MoCo queues imported from
+    a reference pretrain checkpoint (modeling.py:88-157 buffers) onto the
+    freshly created PretrainState."""
+    import numpy as np
+
+    from hmmc_tpu.models.pretrain import MoCoQueues
+    from hmmc_tpu.train import checkpoint as ckpt
+
+    if "params_k" in extra:
+        state = state.replace(params_k=ckpt.merge_params(
+            state.params_k, extra["params_k"], log))
+        log.info("restored momentum (key) towers from checkpoint")
+    if "batch_stats_k" in extra:
+        state = state.replace(batch_stats_k=ckpt.merge_params(
+            state.batch_stats_k, extra["batch_stats_k"], log))
+    qa = extra.get("queues")
+    if qa and "queue_v_cross_ng" in qa:
+        q = state.queues
+        same = (qa["queue_v_cross_ng"].shape == q.v_cross.shape
+                and qa.get("queue_frame_proj_ng",
+                           np.zeros(0)).shape == q.frame_proj.shape)
+        if same:
+            def arr(name, current):
+                v = qa.get(name)
+                return (jnp.asarray(v, jnp.float32) if v is not None
+                        else current)
+
+            ptr = int(np.asarray(qa.get("queue_ptr", 0)).reshape(-1)[0])
+            state = state.replace(queues=MoCoQueues(
+                v_cross=arr("queue_v_cross_ng", q.v_cross),
+                frame_proj=arr("queue_frame_proj_ng", q.frame_proj),
+                frame_cross=arr("queue_frame_cross_ng", q.frame_cross),
+                title_cross=arr("queue_title_cross_ng", q.title_cross),
+                tag_cross=arr("queue_tag_cross_ng", q.tag_cross),
+                ptr=jnp.asarray(ptr, jnp.int32)))
+            log.info("restored MoCo queues (ptr=%d)", ptr)
+        else:
+            log.warning(
+                "checkpoint queue shape %s does not match configured "
+                "--contrast_num_negative/--max_frames; queues start fresh",
+                qa["queue_v_cross_ng"].shape)
+    return state
+
+
 def run_pretrain(args, log=None) -> None:
     task, cross = _task_with_resolution(args)
     log = log or setup_logging(task.output_dir)
@@ -237,7 +282,10 @@ def run_pretrain(args, log=None) -> None:
     queues = MoCoQueues.create(
         jax.random.PRNGKey(task.seed), cross.temporal_hidden_size,
         task.contrast_num_negative, task.max_frames)
+    pretrain_import = variables.pop("_pretrain_import", None)
     state = PretrainState.create(variables, tx, queues)
+    if pretrain_import:
+        state = _apply_pretrain_import(state, pretrain_import, log)
     mask_id, pad_id, cls_id = _mlm_token_ids(task, tokenizer)
     step_fn = make_pretrain_step(
         model, tx, cross, task, mask_token_id=mask_id, pad_token_id=pad_id,
@@ -294,7 +342,8 @@ def run_pretrain(args, log=None) -> None:
             orbax_io.save_reference_checkpoint(
                 os.path.join(task.output_dir,
                              f"pytorch_model.bin.{epoch}"),
-                state.params, language=task.language)
+                state.params, language=task.language,
+                pretrain_state=state)
         # the reference pretrain ALWAYS evals on the vatex (zh) / msrvtt
         # (en) test set regardless of --dataset (main_pretrain.py:512-515);
         # here it runs when that eval data is present

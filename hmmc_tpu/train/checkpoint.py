@@ -600,3 +600,52 @@ def export_hf_bert(params: Dict, out: Optional[StateDict] = None,
         np.asarray(params["pooler"]["kernel"]).T)
     sd[f"{prefix}pooler.dense.bias"] = np.asarray(params["pooler"]["bias"])
     return sd
+
+
+def export_mlp(params: Dict, stats: Dict, out: Optional[StateDict] = None,
+               prefix: str = "") -> StateDict:
+    """ProjectorMLP params/batch_stats -> reference MLP naming (inverse of
+    :func:`_import_mlp`; modeling.py:788-807 Sequential indices)."""
+    sd: StateDict = {} if out is None else out
+    j = 0
+    while f"hidden_{j}" in params:
+        li, bi = 1 + 3 * j, 2 + 3 * j
+        sd[f"{prefix}linear_hidden.{li}.weight"] = np.ascontiguousarray(
+            np.asarray(params[f"hidden_{j}"]["kernel"]).T)
+        sd[f"{prefix}linear_hidden.{li}.bias"] = np.asarray(
+            params[f"hidden_{j}"]["bias"])
+        sd[f"{prefix}linear_hidden.{bi}.weight"] = np.asarray(
+            params[f"bn_{j}"]["scale"])
+        sd[f"{prefix}linear_hidden.{bi}.bias"] = np.asarray(
+            params[f"bn_{j}"]["bias"])
+        scale = np.asarray(params[f"bn_{j}"]["scale"])
+        bn_stats = stats.get(f"bn_{j}", {}) if stats else {}
+        sd[f"{prefix}linear_hidden.{bi}.running_mean"] = np.asarray(
+            bn_stats.get("mean", np.zeros_like(scale)))
+        sd[f"{prefix}linear_hidden.{bi}.running_var"] = np.asarray(
+            bn_stats.get("var", np.ones_like(scale)))
+        j += 1
+    sd[f"{prefix}linear_out.weight"] = np.ascontiguousarray(
+        np.asarray(params["out"]["kernel"]).T)
+    sd[f"{prefix}linear_out.bias"] = np.asarray(params["out"]["bias"])
+    return sd
+
+
+def export_mlm_head(params: Dict, out: Optional[StateDict] = None,
+                    prefix: str = "cls.") -> StateDict:
+    """MLM head -> reference naming (inverse of :func:`_import_mlm_head`;
+    module_cross.py:308-341 — the decoder bias is the separate tied
+    ``bias`` parameter)."""
+    sd: StateDict = {} if out is None else out
+    sd[f"{prefix}transform.dense.weight"] = np.ascontiguousarray(
+        np.asarray(params["transform_dense"]["kernel"]).T)
+    sd[f"{prefix}transform.dense.bias"] = np.asarray(
+        params["transform_dense"]["bias"])
+    sd[f"{prefix}transform.LayerNorm.weight"] = np.asarray(
+        params["transform_ln"]["scale"])
+    sd[f"{prefix}transform.LayerNorm.bias"] = np.asarray(
+        params["transform_ln"]["bias"])
+    sd[f"{prefix}decoder.weight"] = np.ascontiguousarray(
+        np.asarray(params["decoder"]["kernel"]).T)
+    sd[f"{prefix}bias"] = np.asarray(params["decoder"]["bias"])
+    return sd

@@ -68,41 +68,90 @@ def restore_raw(directory: str, step: Optional[int] = None) -> Any:
         return mgr.restore(step)
 
 
-def save_reference_checkpoint(path: str, params: Any,
-                              language: str = "english") -> None:
-    """Write a torch state dict in the reference's naming so checkpoints
-    flow back to the PyTorch implementation (inverse of
-    checkpoint.import_hmmc_state_dict)."""
-    import torch
+def _export_text_tower(te: Any, sd: dict, prefix: str,
+                       language: str) -> None:
+    from hmmc_tpu.train.checkpoint import export_clip_text, export_hf_bert
 
-    from hmmc_tpu.train.checkpoint import export_clip_text, export_clip_visual
-
-    params = jax.tree_util.tree_map(np.asarray, params)
-    sd = {}
-    te = params["text_encoder"]
-    sd["text_encoder.logit_scale"] = np.asarray(te["logit_scale"])
+    if "logit_scale" in te:
+        sd[f"{prefix}logit_scale"] = np.asarray(te["logit_scale"])
     if language == "english" and "clip_text" in te:
-        export_clip_text(te["clip_text"], sd, prefix="text_encoder.")
+        export_clip_text(te["clip_text"], sd, prefix=prefix)
     elif "chinese_encoder" in te:
-        from hmmc_tpu.train.checkpoint import export_hf_bert
-
         export_hf_bert(te["chinese_encoder"], sd,
-                       prefix="text_encoder.chinese_encoder.")
-        sd["text_encoder.text_proj.weight"] = np.ascontiguousarray(
+                       prefix=f"{prefix}chinese_encoder.")
+        sd[f"{prefix}text_proj.weight"] = np.ascontiguousarray(
             np.asarray(te["text_proj"]["kernel"]).T)
-        sd["text_encoder.text_proj.bias"] = np.asarray(
-            te["text_proj"]["bias"])
-    ve = params["visual_encoder"]
-    export_clip_visual(ve["visual"], sd, prefix="visual_encoder.visual.")
-    if "frame_position_embeddings" in ve:
-        sd["visual_encoder.frame_position_embeddings.weight"] = (
-            ve["frame_position_embeddings"])
-        from hmmc_tpu.train.checkpoint import _export_resblocks
+        sd[f"{prefix}text_proj.bias"] = np.asarray(te["text_proj"]["bias"])
 
-        inner = {}
+
+def _export_visual_tower(ve: Any, sd: dict, prefix: str) -> None:
+    from hmmc_tpu.train.checkpoint import (_export_resblocks,
+                                           export_clip_visual)
+
+    export_clip_visual(ve["visual"], sd, prefix=f"{prefix}visual.")
+    if "frame_position_embeddings" in ve:
+        sd[f"{prefix}frame_position_embeddings.weight"] = (
+            ve["frame_position_embeddings"])
+        inner: dict = {}
         _export_resblocks(ve["temporal_transformer"],
                           "temporal_transformer", inner)
-        sd.update({f"visual_encoder.{k}": v for k, v in inner.items()})
+        sd.update({f"{prefix}{k}": v for k, v in inner.items()})
+
+
+def save_reference_checkpoint(path: str, params: Any,
+                              language: str = "english",
+                              pretrain_state: Any = None) -> None:
+    """Write a torch state dict in the reference's naming so checkpoints
+    flow back to the PyTorch implementation (inverse of
+    checkpoint.import_hmmc_state_dict).
+
+    With ``pretrain_state`` (a PretrainState), the momentum ``*_k``
+    towers, projector/predictor MLPs (+BN running stats), MLM head, and
+    the MoCo queues/ptr are exported too — the reference keeps all of
+    these as registered buffers/modules in its pretrain state_dict
+    (modeling.py:88-157), so a reference run can resume from them.
+    """
+    import torch
+
+    from hmmc_tpu.train.checkpoint import export_mlm_head, export_mlp
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd: dict = {}
+    _export_text_tower(params["text_encoder"], sd, "text_encoder.",
+                       language)
+    _export_visual_tower(params["visual_encoder"], sd, "visual_encoder.")
+
+    if pretrain_state is not None:
+        st = jax.tree_util.tree_map(np.asarray, pretrain_state)
+        pk = st.params_k
+        _export_text_tower(pk["text_encoder"], sd, "text_encoder_k.",
+                           language)
+        _export_visual_tower(pk["visual_encoder"], sd, "visual_encoder_k.")
+        for tower, tree, stats in (
+                ("t_projector", params.get("t_projector"),
+                 st.batch_stats.get("t_projector")),
+                ("v_projector", params.get("v_projector"),
+                 st.batch_stats.get("v_projector")),
+                ("v_predictor", params.get("v_predictor"),
+                 st.batch_stats.get("v_predictor")),
+                ("t_projector_k", pk.get("t_projector"),
+                 st.batch_stats.get("t_projector")),
+                ("v_projector_k", pk.get("v_projector"),
+                 st.batch_stats_k.get("v_projector"))):
+            if tree is not None:
+                export_mlp(tree, stats or {}, sd, prefix=f"{tower}.")
+        if "cls" in params:
+            export_mlm_head(params["cls"], sd, prefix="cls.")
+        q = st.queues
+        sd.update({
+            "queue_v_cross_ng": q.v_cross,
+            "queue_frame_proj_ng": q.frame_proj,
+            "queue_frame_cross_ng": q.frame_cross,
+            "queue_title_cross_ng": q.title_cross,
+            "queue_tag_cross_ng": q.tag_cross,
+            "queue_ptr": np.asarray([int(q.ptr)], dtype=np.int64),
+        })
+
     # atomic write: a crash mid-save must not leave a corrupt file under
     # the final name
     tmp = path + ".tmp"

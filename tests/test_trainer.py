@@ -279,3 +279,57 @@ def test_pretrain_grad_accumulation_per_micro_queue():
     batch1 = shard_batch(mesh, batch1)
     _, m1 = step1(state1, batch1, jax.random.PRNGKey(3))
     assert not np.isclose(float(m1["loss_VTM"]), float(m2["loss_VTM"]))
+
+
+def test_pretrain_reference_checkpoint_roundtrip(tmp_path):
+    """The reference keeps momentum towers, projector MLPs (+BN stats),
+    the MLM head, and the MoCo queues in ONE pretrain state_dict
+    (modeling.py:88-157). Export a stepped PretrainState to that format
+    and restore it: key towers and queues must round-trip exactly."""
+    import logging
+
+    from hmmc_tpu.runner import _apply_pretrain_import
+    from hmmc_tpu.train import checkpoint as ckpt
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+
+    state, step, batch = _pretrain_setup()
+    mesh = make_mesh(MeshSpec(dp=8))
+    state, _ = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(3))
+
+    path = str(tmp_path / "pytorch_model.bin.0")
+    save_reference_checkpoint(path, state.params, language="english",
+                              pretrain_state=state)
+
+    sd = ckpt.load_torch_state_dict(path)
+    # reference pretrain buffers present
+    for key in ("text_encoder_k.token_embedding.weight",
+                "visual_encoder_k.visual.proj", "queue_title_cross_ng",
+                "queue_ptr", "v_projector.linear_hidden.1.weight",
+                "cls.decoder.weight"):
+        assert key in sd, key
+    imported = ckpt.import_hmmc_state_dict(sd, pretrain=True)
+    extras = {
+        "params_k": {
+            "text_encoder": imported["params"].pop("text_encoder_k"),
+            "visual_encoder": imported["params"].pop("visual_encoder_k"),
+            "t_projector": imported["params"].pop("t_projector_k"),
+            "v_projector": imported["params"].pop("v_projector_k"),
+        },
+        "queues": imported["queues"],
+    }
+
+    fresh, _, _ = _pretrain_setup()   # identical seeds -> pre-step state
+    restored = _apply_pretrain_import(fresh, extras,
+                                      logging.getLogger("t"))
+    np.testing.assert_allclose(
+        np.asarray(restored.params_k["text_encoder"]["logit_scale"]),
+        np.asarray(state.params_k["text_encoder"]["logit_scale"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored.params_k["visual_encoder"]["visual"]["proj"]),
+        np.asarray(state.params_k["visual_encoder"]["visual"]["proj"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored.queues.title_cross),
+        np.asarray(state.queues.title_cross), atol=1e-6)
+    assert int(restored.queues.ptr) == int(state.queues.ptr)
