@@ -7,7 +7,7 @@ analysis this build follows.
 from hmmc_tpu.config import (ClipArch, CrossConfig, TaskConfig,
                              load_cross_config)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["ClipArch", "CrossConfig", "TaskConfig", "load_cross_config",
            "__version__"]
