@@ -93,6 +93,11 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                    help="tensor-parallel shards (Megatron-style placement "
                         "over the mesh's model axis)")
     p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--eval_dual_softmax", action="store_true",
+                   help="apply the dual-softmax reweighting "
+                        "(until_module.py get_dual_matrix) to the eval "
+                        "similarity matrix — an inference-time R@1 "
+                        "booster; off = reference eval behavior")
     p.add_argument("--use_randaugment", action="store_true",
                    help="stack device-side RandAugment(N, M) on the "
                         "pretrain SimCLR aug (the reference imports "

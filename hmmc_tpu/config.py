@@ -158,6 +158,7 @@ class TaskConfig:
     do_params: bool = False
     do_extract: bool = False         # feature-bank export (serving)
     use_randaugment: bool = False    # device-side RandAugment in pretrain
+    eval_dual_softmax: bool = False  # DSL reweighting at eval (opt-in)
     randaugment_n: int = 2
     randaugment_m: int = 10
     task: str = "retrieval"          # retrieval | retrieval_VT

@@ -198,6 +198,15 @@ class Evaluator:
             tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
             sim_title = float(np.asarray(scale)) * (qn @ tn.T)
             sim = sim + self.weight_title * sim_title
+        if getattr(self.task, "eval_dual_softmax", False):
+            # opt-in inference-time dual-softmax reweighting using the
+            # reference's own get_dual_matrix formulation
+            # (until_module.py:39-49 — there it is train-loss only)
+            a = np.exp(sim - sim.max(axis=0, keepdims=True))
+            a = a / a.sum(axis=0, keepdims=True)
+            b = np.exp(sim - sim.max(axis=1, keepdims=True))
+            b = b / b.sum(axis=1, keepdims=True)
+            sim = sim * a * b
         return sim
 
     def run(self, params, loader, dataset,

@@ -234,3 +234,27 @@ def test_eval_similarity_composition_matches_torch():
     fl = scale * torch.einsum("qh,vfh->qvf", tnorm(tq), tnorm(tf))
     ref = ref + torch.topk(fl, k=topk, dim=2)[0].mean(dim=2)
     np.testing.assert_allclose(sim, ref.numpy(), atol=2e-4)
+
+
+def test_eval_dual_softmax_matches_reference_formulation():
+    """--eval_dual_softmax applies until_module.py:39-49's get_dual_matrix
+    (sim * softmax_col * softmax_row) to the composed eval similarity."""
+    from hmmc_tpu import losses
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    v = rng.normal(size=(5, 16)).astype(np.float32)
+    f = rng.normal(size=(5, 3, 16)).astype(np.float32)
+
+    model = BirdModel(TINY, TINY_CROSS)
+    base = Evaluator(model, TaskConfig(do_eval=True, top_frames=2,
+                                       use_frame_fea=False))
+    dsl = Evaluator(model, TaskConfig(do_eval=True, top_frames=2,
+                                      use_frame_fea=False,
+                                      eval_dual_softmax=True))
+    params = {"text_encoder": {"logit_scale": np.float32(0.0)}}
+    s0 = base.similarity(params, q, v, f)
+    s1 = dsl.similarity(params, q, v, f)
+    ref = np.asarray(losses.get_dual_matrix(jnp.asarray(s0)))
+    np.testing.assert_allclose(s1, ref, atol=1e-5)
+    assert not np.allclose(s0, s1)
