@@ -404,3 +404,24 @@ def test_validate_data_tool(data_dir, tmp_path):
         capture_output=True, text=True)
     assert bad.returncode == 1
     assert "MISS" in bad.stdout
+
+
+def test_pretrain_resume_continues(data_dir, cross_json, tmp_path):
+    """--resume on the pretrain path restores the FULL MoCo state
+    (params, momentum towers, BN stats, optimizer, queues, step) and
+    trains only the remaining epochs."""
+    from hmmc_tpu.runner import run_pretrain
+
+    out = str(tmp_path / "ptres")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_pretrain", "--dataset", "bird",
+                  "--contrast_num_negative", "16"])
+    run_pretrain(args)
+    assert os.path.isdir(os.path.join(out, "ckpt", "1"))
+
+    args2 = _args(data_dir, cross_json, out,
+                  ["--do_pretrain", "--dataset", "bird",
+                   "--contrast_num_negative", "16", "--resume"])
+    args2.epochs = 2
+    run_pretrain(args2)
+    assert os.path.isdir(os.path.join(out, "ckpt", "2"))
