@@ -83,6 +83,88 @@ def load_reference(root: str):
     return mcross, um, rmetrics, ropt
 
 
+def _check_chinese(mcross, tmp, check):
+    """Reference TextEncoder(language=chinese) builds its tower via
+    AutoModel.from_pretrained (module_cross.py:260-265); point it at a
+    local synthetic HF BertModel dir, load OUR exported zh weights into
+    it, and compare pooled text features."""
+    import json
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.config import ClipArch, CrossConfig
+    from hmmc_tpu.models.retrieval import BirdModel
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+
+    ZH_VOCAB, ZH_H, ZH_L = 50, 32, 2
+    hf_dir = os.path.join(tmp, "hf_zh")
+    os.makedirs(hf_dir, exist_ok=True)
+    with open(os.path.join(hf_dir, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["BertModel"], "model_type": "bert",
+            "vocab_size": ZH_VOCAB, "hidden_size": ZH_H,
+            "num_hidden_layers": ZH_L, "num_attention_heads": 2,
+            "intermediate_size": 64, "max_position_embeddings": 512,
+            "hidden_act": "gelu", "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0}, f)
+    from transformers import BertConfig, BertModel
+
+    hf = BertModel(BertConfig.from_json_file(
+        os.path.join(hf_dir, "config.json")))
+    hf.save_pretrained(hf_dir, safe_serialization=False)
+
+    arch = ClipArch(
+        embed_dim=32, image_resolution=32, vision_layers=2,
+        vision_width=64, vision_patch_size=16, context_length=16,
+        vocab_size=512, transformer_width=64, transformer_heads=1,
+        transformer_layers=2)
+    cross = CrossConfig(temporal_hidden_size=32,
+                        temporal_attention_heads=2,
+                        temporal_hidden_layers=2,
+                        max_position_embeddings=8, chinese_hidden_size=ZH_H,
+                        chinese_num_layers=ZH_L, chinese_num_heads=2,
+                        chinese_intermediate_size=64)
+    model = BirdModel(arch, cross, language="chinese",
+                      chinese_vocab_size=ZH_VOCAB)
+    ids0 = jnp.zeros((1, 10), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), ids0,
+                        jnp.ones((1, 10), jnp.int32),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    zh_ckpt = os.path.join(tmp, "ours_zh.bin")
+    save_reference_checkpoint(zh_ckpt, params, language="chinese")
+    sd = torch.load(zh_ckpt, map_location="cpu", weights_only=True)
+
+    task_ns = types.SimpleNamespace(local_rank=0, rank=0, use_temp=True,
+                                    language="chinese",
+                                    pretrained_text=hf_dir)
+    cc = mcross.CrossConfig(vocab_size_or_config_json_file=0)
+    for k, v in dict(temporal_hidden_size=32, chinese_hidden_size=ZH_H,
+                     pretrained_clip_name="unused-for-zh").items():
+        setattr(cc, k, v)
+    # the zh branch never builds CLIP? it does (TextEncoder ctor builds
+    # clip for logit_scale) — reuse the tiny clip file
+    cc.pretrained_clip_name = os.path.join(tmp, "TinyCLIP.pt")
+    te = mcross.TextEncoder(task_ns, cc)
+    te_sd = {k[len("text_encoder."):]: v for k, v in sd.items()
+             if k.startswith("text_encoder.") and "logit_scale" not in k}
+    te.load_state_dict(te_sd, strict=True)
+    te = te.float().eval()
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(1, ZH_VOCAB, size=(3, 10)).astype(np.int64)
+    mask = np.ones((3, 10), np.int64)
+    mask[0, 7:] = 0
+    with torch.no_grad():
+        tq = te(torch.tensor(ids), torch.tensor(mask))
+    q = model.apply({"params": params}, jnp.asarray(ids.astype(np.int32)),
+                    jnp.asarray(mask.astype(np.int32)),
+                    method="encode_text")
+    check("zh pooled text feature", np.asarray(q), tq.numpy(), 2e-5)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reference", default="/root/reference")
@@ -203,6 +285,9 @@ def main():
     tqn = tq / tq.norm(dim=-1, keepdim=True)
     check("loose_similarity", np.asarray(sim_ours),
           (tscale * tqn @ tvn.t()).numpy())
+
+    print("[chinese tower through the reference's AutoModel path]")
+    _check_chinese(mcross, tmp, check)
 
     print("[losses]")
     sim = rng.normal(size=(14, 14)).astype(np.float32) * 3
