@@ -23,6 +23,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List
 
@@ -136,6 +137,18 @@ class BatchLoader:
                     yield item
             finally:
                 stop.set()
+                # drain so a producer blocked on put() can observe stop
+                # and exit, with a bounded join — threads still running at
+                # interpreter teardown can abort the process ("Fatal
+                # Python error" in buffered-io shutdown)
+                deadline = time.monotonic() + 5.0
+                while producer.is_alive() and time.monotonic() < deadline:
+                    try:
+                        while True:
+                            out_q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    producer.join(timeout=0.1)
                 pool.shutdown(wait=False)
 
         return gen()
