@@ -349,7 +349,7 @@ def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from tools.serve import RetrievalService, serve
+    from tools.serve import RetrievalService, make_server
 
     sargs = _args(data_dir, cross_json, out,
                   ["--do_eval", "--dataset", "msrvtt"])
@@ -361,8 +361,9 @@ def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
     ids = {r["video_id"] for r in res["results"]}
     assert ids <= {f"video{i}" for i in range(N_VIDEOS)}
 
-    port = 8123
-    t = threading.Thread(target=serve, args=(svc, port), daemon=True)
+    httpd = make_server(svc, 0)   # port 0 = auto-assign (no collisions)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     deadline = 20
     import time as _time
@@ -382,6 +383,7 @@ def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
     with urllib.request.urlopen(req, timeout=30) as r:
         out2 = _json.loads(r.read())
     assert len(out2["results"]) == 2
+    httpd.shutdown()
 
 
 def test_validate_data_tool(data_dir, tmp_path):

@@ -90,7 +90,9 @@ class RetrievalService:
         }
 
 
-def serve(service: RetrievalService, port: int):
+def make_server(service: RetrievalService, port: int):
+    """Build the HTTP server (port 0 = auto-assign; the bound port is
+    ``httpd.server_address[1]``)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -124,8 +126,12 @@ def serve(service: RetrievalService, port: int):
         def log_message(self, *a):
             pass
 
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    print(f"serving on http://127.0.0.1:{port} "
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def serve(service: RetrievalService, port: int):
+    httpd = make_server(service, port)
+    print(f"serving on http://127.0.0.1:{httpd.server_address[1]} "
           f"({len(service.video_ids)} videos)", flush=True)
     httpd.serve_forever()
 
