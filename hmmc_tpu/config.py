@@ -248,4 +248,10 @@ def load_cross_config(name_or_path: str = "cross-base") -> CrossConfig:
         return CrossConfig.from_json(bundled)
     if name_or_path == "cross-base":
         return CrossConfig()  # defaults ARE cross-base
+    if "://" in name_or_path:
+        # URL/S3 resolution through the cache machinery (the reference
+        # routes config loading through cached_path, until_config.py:42)
+        from hmmc_tpu.utils import cached_path
+
+        return CrossConfig.from_json(cached_path(name_or_path))
     raise FileNotFoundError(f"cross config {name_or_path!r} not found")
