@@ -244,3 +244,55 @@ def test_init_model_accepts_orbax_dir(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["params"]["visual_encoder"]["visual"]["proj"]),
         np.asarray(trained["visual_encoder"]["visual"]["proj"]), atol=1e-6)
+
+
+def test_factory_pretrain_import_stash(tmp_path):
+    """factory.build_model(pretrain=True, init_model=<reference pretrain
+    checkpoint>) must stash the momentum towers + queues for the runner
+    (_pretrain_import) and _apply_pretrain_import must consume them."""
+    import logging
+
+    from hmmc_tpu.models.pretrain import MoCoQueues
+    from hmmc_tpu.runner import _apply_pretrain_import
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+    from hmmc_tpu.train.trainer import PretrainState
+
+    cross_json = tmp_path / "cross.json"
+    cross_json.write_text(json.dumps({
+        "pretrained_clip_name": TINY_NAME, "temporal_hidden_size": EMB,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 1,
+        "max_position_embeddings": 8}))
+    task = TaskConfig(do_pretrain=True, language="english",
+                      cross_model=str(cross_json), max_words=CTX,
+                      max_frames=2, compute_dtype="float32",
+                      contrast_num_negative=8)
+    cross = CrossConfig.from_json(str(cross_json))
+    model, variables = factory.build_model(task, cross, vocab_size=VOCAB,
+                                           pretrain=True)
+    tx = build_optimizer(variables["params"], lr=1e-4, text_lr=1e-5,
+                         coef_lr=1.0, weight_decay=0.0,
+                         warmup_proportion=0.1, t_total=4)
+    queues = MoCoQueues.create(jax.random.PRNGKey(2), EMB, 8, 2)
+    state = PretrainState.create(variables, tx, queues)
+    path = str(tmp_path / "pytorch_model.bin.0")
+    save_reference_checkpoint(path, variables["params"],
+                              language="english", pretrain_state=state)
+
+    _, vars2 = factory.build_model(task, cross, vocab_size=VOCAB,
+                                   init_model_path=path, pretrain=True)
+    extra = vars2.pop("_pretrain_import")
+    assert set(extra["params_k"]) >= {"text_encoder", "visual_encoder"}
+    assert "queues" in extra
+
+    queues_fresh = MoCoQueues.create(jax.random.PRNGKey(9), EMB, 8, 2)
+    state2 = PretrainState.create(vars2, tx, queues_fresh)
+    state2 = _apply_pretrain_import(state2, extra,
+                                    logging.getLogger("t"))
+    np.testing.assert_allclose(
+        np.asarray(state2.queues.title_cross),
+        np.asarray(state.queues.title_cross), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state2.params_k["visual_encoder"]["visual"]["proj"]),
+        np.asarray(state.params_k["visual_encoder"]["visual"]["proj"]),
+        atol=1e-6)
