@@ -26,20 +26,27 @@ from hmmc_tpu.data.ingest import videos_to_framepack  # noqa: E402
 def load_manifest(path: str, video_root: str):
     with open(path, "r", encoding="utf-8") as f:
         data = json.load(f)
+    def resolve(p: str) -> str:
+        # relative manifest paths resolve against --video_root
+        if p and not os.path.isabs(p) and video_root:
+            return os.path.join(video_root, p)
+        return p
+
     items = []
     if isinstance(data, dict) and "videos" in data:
         for itm in data["videos"]:
             vid = itm["video_id"]
-            p = itm.get("path") or os.path.join(video_root, vid + ".mp4")
+            p = resolve(itm.get("path")) or os.path.join(
+                video_root, vid + ".mp4")
             items.append((vid, p))
     elif isinstance(data, list):
         for itm in data:
             if isinstance(itm, str):
                 items.append((os.path.splitext(os.path.basename(itm))[0],
-                              os.path.join(video_root, itm)))
+                              resolve(itm)))
             else:
                 items.append((itm["video_id"],
-                              itm.get("path") or os.path.join(
+                              resolve(itm.get("path")) or os.path.join(
                                   video_root, itm["video_id"] + ".mp4")))
     else:
         raise ValueError(f"unrecognized manifest shape in {path}")
