@@ -224,3 +224,33 @@ def test_bundled_vatex_manifests_present():
         with open(p, encoding="utf-8") as f:
             ids = [l for l in f.read().splitlines() if l]
         assert len(ids) == n, (name, len(ids))
+
+
+def test_video2framepack_manifest_resolution(tmp_path):
+    """Relative manifest paths resolve against --video_root; absolute
+    paths and bare id lists keep working (all three manifest shapes)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.video2framepack import load_manifest
+
+    m1 = tmp_path / "m1.json"
+    m1.write_text(json.dumps([{"video_id": "a", "path": "a.mp4"},
+                              {"video_id": "b", "path": "/abs/b.mp4"},
+                              {"video_id": "c"}]))
+    _, items = load_manifest(str(m1), "/root/videos")
+    assert dict(items) == {"a": "/root/videos/a.mp4", "b": "/abs/b.mp4",
+                           "c": "/root/videos/c.mp4"}
+
+    m2 = tmp_path / "m2.json"
+    m2.write_text(json.dumps({"videos": [{"video_id": "x",
+                                          "path": "sub/x.mp4"}]}))
+    _, items = load_manifest(str(m2), "/vr")
+    assert items == [("x", "/vr/sub/x.mp4")]
+
+    m3 = tmp_path / "m3.json"
+    m3.write_text(json.dumps(["d.mp4"]))
+    _, items = load_manifest(str(m3), "/vr")
+    assert items == [("d", "/vr/d.mp4")]
