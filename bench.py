@@ -104,6 +104,84 @@ def run(batch_size: int, warmup: int = 2, iters: int = 20,
     return best
 
 
+def build_pretrain(batch_size: int, num_negative: int = 1024):
+    """The MoCo pretrain step at the reference's CHVTT config: 2x towers
+    (query+momentum key), BN projector/predictor MLPs, K=1024 queues,
+    FAM/VTM/FTM/MLM over tag+title (README.md:83-92, modeling.py:334-436)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+    from hmmc_tpu.models.pretrain import BirdPretrainModel, MoCoQueues
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import PretrainState, make_pretrain_step
+
+    _enable_cache()
+    arch = ClipArch.by_name("ViT-B/32")
+    cross = CrossConfig()
+    task = TaskConfig(do_pretrain=True, dataset="bird", language="english",
+                      use_temp=True, use_frame_fea=True, max_frames=12,
+                      contrast_num_negative=num_negative)
+    model = BirdPretrainModel(vocab_size=49408, arch=arch,
+                              cross_config=cross, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    f, l = 12, 32
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, l), jnp.int32), jnp.ones((2, l), jnp.int32),
+        jnp.zeros((2, f, 224, 224, 3), jnp.float32))
+    tx = build_optimizer(variables["params"], lr=1e-4, text_lr=1e-5,
+                         coef_lr=1e-3, weight_decay=0.2,
+                         warmup_proportion=0.1, t_total=3600)
+    queues = MoCoQueues.create(jax.random.PRNGKey(1),
+                               cross.temporal_hidden_size, num_negative, f)
+    state = PretrainState.create(variables, tx, queues)
+    step = make_pretrain_step(model, tx, cross, task, mask_token_id=49394,
+                              pad_token_id=49407, cls_token_id=49406)
+
+    b = batch_size
+
+    def ids():
+        return jnp.asarray(rng.integers(1, 49000, size=(b, l)), jnp.int32)
+
+    batch = {
+        "title_ids": ids(), "title_mask": jnp.ones((b, l), jnp.int32),
+        "tag_ids": ids(), "tag_mask": jnp.ones((b, l), jnp.int32),
+        "video": jnp.asarray(
+            rng.normal(size=(b, f, 224, 224, 3)).astype(np.float32)),
+    }
+    return step, state, batch
+
+
+def run_pretrain(batch_size: int, warmup: int = 2, iters: int = 10,
+                 windows: int = 2):
+    """(clips/s/chip, mfu) for the pretrain MoCo step."""
+    import jax
+
+    step, state, batch = build_pretrain(batch_size)
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(iters + warmup)]
+    for i in range(warmup):
+        state, metrics = step(state, batch, rngs[i])
+    float(metrics["loss"])
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, batch, rngs[warmup + i])
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * iters / dt)
+    mfu = None
+    try:
+        cost = step.lower(state, batch, rngs[0]).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        mfu = float(cost["flops"]) * (best / batch_size) / _peak_flops()
+    except Exception as e:
+        print(f"pretrain mfu unavailable: {type(e).__name__}", file=sys.stderr)
+    return best, mfu
+
+
 # peak dense bf16 FLOP/s per chip by device generation
 _PEAK_BF16 = {
     "v4": 275e12, "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
@@ -177,6 +255,17 @@ def main():
         print(f"mfu unavailable: {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr)
 
+    # secondary gate number: the MoCo pretrain step (VERDICT r2 #6 — the
+    # path with 2x towers + BN projectors). Failure degrades gracefully.
+    pre_clips = pre_mfu = None
+    try:
+        pre_clips, pre_mfu = run_pretrain(8)
+        pre_clips = round(pre_clips / n_chips, 2)
+        pre_mfu = round(pre_mfu, 4) if pre_mfu is not None else None
+    except Exception as e:
+        print(f"pretrain bench failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
+
     per_chip = clips_per_sec / n_chips
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
@@ -185,6 +274,8 @@ def main():
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
         "mfu": mfu,
         "batch_size": used_batch,
+        "pretrain_clips_per_sec_per_chip": pre_clips,
+        "pretrain_mfu": pre_mfu,
     }))
 
 

@@ -146,6 +146,58 @@ class ClipArch:
             raise ValueError(f"unknown CLIP arch {name!r}; known: {list(CLIP_ARCH)}")
         return cls(linear_patch=linear_patch, **CLIP_ARCH[name])
 
+    @classmethod
+    def from_state_dict(cls, sd, linear_patch: str = "2d") -> "ClipArch":
+        """Shape-driven arch detection from an OpenAI CLIP state dict —
+        the reference never consults a name table: it sniffs every
+        architecture hyperparameter from tensor shapes and key names
+        (module_clip.py:530-579). ``"visual.proj" in sd`` discriminates
+        ViT vs ModifiedResNet, exactly as there.
+
+        ``sd`` maps OpenAI CLIP names to tensors/arrays (anything with a
+        ``.shape``)."""
+        def shape(k):
+            return tuple(sd[k].shape)
+
+        if "visual.proj" in sd:
+            vision_width = shape("visual.conv1.weight")[0]
+            vision_layers = len([
+                k for k in sd
+                if k.startswith("visual.") and k.endswith(
+                    ".attn.in_proj_weight")])
+            vision_patch_size = shape("visual.conv1.weight")[-1]
+            grid = round((shape("visual.positional_embedding")[0] - 1)
+                         ** 0.5)
+            image_resolution = vision_patch_size * grid
+        else:
+            counts = [len({k.split(".")[2] for k in sd
+                           if k.startswith(f"visual.layer{b}")})
+                      for b in (1, 2, 3, 4)]
+            vision_layers = tuple(counts)
+            vision_width = shape("visual.layer1.0.conv1.weight")[0]
+            out_width = round(
+                (shape("visual.attnpool.positional_embedding")[0] - 1)
+                ** 0.5)
+            assert (out_width ** 2 + 1
+                    == shape("visual.attnpool.positional_embedding")[0])
+            vision_patch_size = 0
+            image_resolution = out_width * 32
+        transformer_width = shape("ln_final.weight")[0]
+        return cls(
+            embed_dim=shape("text_projection")[1],
+            image_resolution=image_resolution,
+            vision_layers=vision_layers,
+            vision_width=vision_width,
+            vision_patch_size=vision_patch_size,
+            context_length=shape("positional_embedding")[0],
+            vocab_size=shape("token_embedding.weight")[0],
+            transformer_width=transformer_width,
+            transformer_heads=transformer_width // 64,
+            transformer_layers=len({
+                k.split(".")[2] for k in sd
+                if k.startswith("transformer.resblocks")}),
+            linear_patch=linear_patch)
+
 
 @dataclasses.dataclass(frozen=True)
 class TaskConfig:

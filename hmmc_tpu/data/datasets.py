@@ -146,6 +146,30 @@ def _get_video(source: FrameSource, video_id: str, want: int,
     return frames, want
 
 
+class SeededFrameSampling:
+    """Deterministic frame-sampling RNG for train datasets.
+
+    The reference seeds every RNG globally (main_task_retrieval.py:100-110)
+    so frame sampling is reproducible; a single shared np.Generator can't
+    give that here because loader worker threads interleave draws in
+    scheduler order. Instead each sample derives its own generator from
+    (seed, epoch, idx) — reproducible run-to-run, identical regardless of
+    worker count, and fresh per epoch. BatchLoader.set_epoch threads
+    (epoch, seed) through here.
+    """
+
+    _seed: int = 0
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int, seed: Optional[int] = None) -> None:
+        self._epoch = int(epoch)
+        if seed is not None:
+            self._seed = int(seed)
+
+    def _sample_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self._seed, self._epoch, int(idx)))
+
+
 # ---------------------------------------------------------------------------
 # MSR-VTT
 # ---------------------------------------------------------------------------
@@ -183,7 +207,7 @@ class MsrvttEvalDataset:
                 "nframes": np.int32(nframes), "idx": np.int32(idx)}
 
 
-class MsrvttTrainDataset:
+class MsrvttTrainDataset(SeededFrameSampling):
     """9k-split training sentences, unfolded: every (video, caption) pair is
     one sample (dataloader_msrvtt_retrieval.py:205-211)."""
 
@@ -205,7 +229,6 @@ class MsrvttTrainDataset:
         self.max_frames = max_frames
         self.frame_sample = frame_sample
         self.language = language
-        self._rng = np.random.default_rng()
 
     def __len__(self):
         return len(self.samples)
@@ -216,7 +239,7 @@ class MsrvttTrainDataset:
                                 self.language)
         video, nframes = _get_video(
             self.source, video_id, self.max_frames, self.max_frames,
-            self.frame_sample, self._rng)
+            self.frame_sample, self._sample_rng(idx))
         return {"query_ids": ids, "query_mask": mask, "video": video,
                 "nframes": np.int32(nframes), "idx": np.int32(idx)}
 
@@ -225,7 +248,7 @@ class MsrvttTrainDataset:
 # VATEX (multi-sentence)
 # ---------------------------------------------------------------------------
 
-class VatexDataset:
+class VatexDataset(SeededFrameSampling):
     """Multi-sentence loader (dataloader_vatex_retrieval.py): every caption
     is a sample; ``cut_off_points`` mark each video's last sentence index+1;
     eval groups sentences per video (metrics.py:102-119)."""
@@ -263,7 +286,6 @@ class VatexDataset:
         self.max_words = max_words
         self.max_frames = max_frames
         self.frame_sample = frame_sample
-        self._rng = np.random.default_rng()
 
     def __len__(self):
         return len(self.samples)
@@ -274,7 +296,7 @@ class VatexDataset:
                                 self.language)
         video, nframes = _get_video(
             self.source, video_id, self.max_frames, self.max_frames,
-            self.frame_sample, self._rng)
+            self.frame_sample, self._sample_rng(idx))
         return {"query_ids": ids, "query_mask": mask, "video": video,
                 "nframes": np.int32(nframes), "idx": np.int32(idx)}
 
@@ -307,7 +329,7 @@ def flat_query_list(query_list: List[dict]) -> List[dict]:
     return flat
 
 
-class BirdPretrainDataset:
+class BirdPretrainDataset(SeededFrameSampling):
     """CHVTT pretrain items: tag+title text pairs, dynamic frame count
     duration*0.3 (dataloader_bird.py:76-253)."""
 
@@ -322,7 +344,6 @@ class BirdPretrainDataset:
         self.max_frames = max_frames
         self.frame_sample = frame_sample
         self.frame_sample_len = frame_sample_len
-        self._rng = np.random.default_rng()
 
     def __len__(self):
         return len(self.datalist)
@@ -335,7 +356,7 @@ class BirdPretrainDataset:
             want = self.max_frames
         video, nframes = _get_video(
             self.source, item["docid"], want, self.max_frames,
-            self.frame_sample, self._rng)
+            self.frame_sample, self._sample_rng(idx))
         if self.language == "chinese":
             tag, title = item["tag"], item["title"]
         else:
@@ -429,7 +450,7 @@ class BirdDebugTestDataset(BirdValDataset):
         return out
 
 
-class BirdTrainDataset:
+class BirdTrainDataset(SeededFrameSampling):
     """CHVTT fine-tune: (query, video) pairs unfolded from the query list;
     dynamic frames use duration*0.5 here (dataloader_bird.py:405-411).
     ``include_title`` adds the positive title text (retrieval_VT)."""
@@ -447,7 +468,6 @@ class BirdTrainDataset:
         self.max_frames = max_frames
         self.frame_sample = frame_sample
         self.frame_sample_len = frame_sample_len
-        self._rng = np.random.default_rng()
 
     def __len__(self):
         return len(self.datalist)
@@ -460,7 +480,7 @@ class BirdTrainDataset:
             want = self.max_frames
         video, nframes = _get_video(
             self.source, item["docid"], want, self.max_frames,
-            self.frame_sample, self._rng)
+            self.frame_sample, self._sample_rng(idx))
         zh = self.language == "chinese"
         query = item["query"] if zh else item["query_eng"]
         ids, mask = encode_text(self.tokenizer, query, QUERY_MAX_WORDS,

@@ -66,9 +66,26 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._skip_next = 0
+        # Establish the seeded frame-sampling RNG for epoch 0 even if the
+        # caller never calls set_epoch (one-off eval/smoke loops).
+        self._seed_dataset(0)
+
+    def _seed_dataset(self, epoch: int) -> None:
+        set_ds_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_ds_epoch is not None:
+            set_ds_epoch(epoch, seed=self.seed)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        self._seed_dataset(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the NEXT iteration past its first ``n`` batches
+        (mid-epoch resume: the (seed, epoch) order is deterministic, so
+        skipping reproduces exactly the batches a crashed run never
+        consumed). One-shot — cleared when iteration starts."""
+        self._skip_next = int(n)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -103,6 +120,9 @@ class BatchLoader:
                 return bidx[p * per:(p + 1) * per]
 
             batches = [local_shard(b) for b in batches]
+        if self._skip_next:
+            batches = batches[self._skip_next:]
+            self._skip_next = 0
         if not batches:
             return iter(())
 

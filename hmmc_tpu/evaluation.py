@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hmmc_tpu import losses
 from hmmc_tpu.config import TaskConfig
 from hmmc_tpu.metrics import logging_rank
 from hmmc_tpu.ops import image_ops
@@ -199,14 +200,10 @@ class Evaluator:
             sim_title = float(np.asarray(scale)) * (qn @ tn.T)
             sim = sim + self.weight_title * sim_title
         if getattr(self.task, "eval_dual_softmax", False):
-            # opt-in inference-time dual-softmax reweighting using the
-            # reference's own get_dual_matrix formulation
-            # (until_module.py:39-49 — there it is train-loss only)
-            a = np.exp(sim - sim.max(axis=0, keepdims=True))
-            a = a / a.sum(axis=0, keepdims=True)
-            b = np.exp(sim - sim.max(axis=1, keepdims=True))
-            b = b / b.sum(axis=1, keepdims=True)
-            sim = sim * a * b
+            # opt-in inference-time dual-softmax reweighting, reusing the
+            # training loss's get_dual_matrix (until_module.py:39-49 —
+            # there it is train-loss only) so the formula can't drift
+            sim = np.asarray(losses.get_dual_matrix(jnp.asarray(sim)))
         return sim
 
     def run(self, params, loader, dataset,

@@ -84,7 +84,22 @@ def build_model(task: TaskConfig, cross: CrossConfig,
                 init_model_path: Optional[str] = None,
                 pretrain: bool = False) -> Tuple[Any, Dict]:
     """Returns (module, variables)."""
-    arch = ClipArch.by_name(cross.pretrained_clip_name)
+    sd: Optional[Dict[str, Any]] = None
+    if clip_model_path:
+        # The reference never consults a name table: every architecture
+        # hyperparameter is sniffed from the checkpoint's tensor shapes
+        # (build_model, module_clip.py:530-579). pretrained_clip_name only
+        # selects WHICH checkpoint to download there; here --clip_model
+        # already names the file, so the shapes are authoritative.
+        sd = ckpt.load_torch_state_dict(clip_model_path)
+        arch = ClipArch.from_state_dict(sd)
+        logger.info(
+            "CLIP arch from checkpoint shapes: embed_dim=%d res=%d "
+            "vision_layers=%s width=%d patch=%s",
+            arch.embed_dim, arch.image_resolution, arch.vision_layers,
+            arch.vision_width, arch.vision_patch_size or None)
+    else:
+        arch = ClipArch.by_name(cross.pretrained_clip_name)
     dtype = jnp.bfloat16 if task.compute_dtype == "bfloat16" else jnp.float32
     common = dict(
         arch=arch, cross_config=cross, language=task.language,
@@ -105,9 +120,9 @@ def build_model(task: TaskConfig, cross: CrossConfig,
     variables = jax.tree_util.tree_map(np.asarray, variables)
     params = variables["params"]
 
-    if clip_model_path:
-        sd = ckpt.load_torch_state_dict(clip_model_path)
-        visual, text, logit_scale = ckpt.import_clip_weights(sd)
+    if sd is not None:
+        visual, text, logit_scale, visual_stats = ckpt.import_clip_weights(
+            sd)
         imported: Dict[str, Any] = {
             "visual_encoder": {"visual": visual},
             "text_encoder": {"logit_scale": logit_scale},
@@ -115,6 +130,12 @@ def build_model(task: TaskConfig, cross: CrossConfig,
         if task.language == "english":
             imported["text_encoder"]["clip_text"] = text
         params = ckpt.merge_params(params, imported, logger)
+        if visual_stats:
+            # ModifiedResNet towers carry BN running stats
+            variables.setdefault("batch_stats", {})
+            variables["batch_stats"] = ckpt.merge_params(
+                variables["batch_stats"],
+                {"visual_encoder": {"visual": visual_stats}}, logger)
         logger.info("loaded CLIP weights from %s", clip_model_path)
 
     if task.language == "chinese":
@@ -172,12 +193,13 @@ def build_model(task: TaskConfig, cross: CrossConfig,
                 if pk:
                     extras["params_k"] = pk
                 stats = imported.get("batch_stats", {})
-                for src in ("t_projector_k", "v_projector_k"):
+                bsk: Dict[str, Any] = {}
+                for src, dst in (("t_projector_k", "t_projector"),
+                                 ("v_projector_k", "v_projector")):
                     if src in stats:
-                        k_stats = stats.pop(src)
-                        if src == "v_projector_k":
-                            extras["batch_stats_k"] = {"v_projector":
-                                                       k_stats}
+                        bsk[dst] = stats.pop(src)
+                if bsk:
+                    extras["batch_stats_k"] = bsk
                 if "queues" in imported:
                     extras["queues"] = imported["queues"]
                 if extras:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from hmmc_tpu.models.layers import LayerNorm, Linear, gelu_erf
@@ -41,6 +42,52 @@ class MLMHead(nn.Module):
         return logits
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's EXACT running-stat semantics.
+
+    flax ``nn.BatchNorm`` updates the running variance with the BIASED
+    batch variance; torch BatchNorm1d uses the UNBIASED estimate
+    (``n/(n-1)``), so a flax-tracked checkpoint drifts from a reference
+    run's ``running_var`` even when every forward output is identical.
+    Normalization itself uses the biased variance in both frameworks.
+    Momentum follows torch's convention: ``new = (1-m)*old + m*batch``
+    with m=0.1 (torch default, the reference never overrides it).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (d,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((d,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((d,), jnp.float32))
+        if train:
+            n = x.size // d
+            xf = x.astype(jnp.float32).reshape(-1, d)
+            mean = jnp.mean(xf, axis=0)
+            var = jnp.mean(jnp.square(xf - mean), axis=0)  # biased
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 class ProjectorMLP(nn.Module):
     """modeling.py:788-807. num_layers=1 → single Linear; num_layers>=2 →
     hidden [Linear→BN→ReLU] blocks then a Linear out."""
@@ -57,10 +104,9 @@ class ProjectorMLP(nn.Module):
         for i in range(self.num_layers - 1):
             x = Linear(self.inner_dim, dtype=self.dtype,
                        param_dtype=self.param_dtype, name=f"hidden_{i}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"bn_{i}")(x)
+            x = TorchBatchNorm(dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name=f"bn_{i}")(x, train)
             x = nn.relu(x)
         x = Linear(self.out_dim, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="out")(x)

@@ -120,6 +120,34 @@ def run_eval(args, log=None) -> Dict[str, float]:
     return metrics
 
 
+def _resolve_resume(args, ckpt_dir, log):
+    """(start_epoch | None, skip_batches) from the latest checkpoint's
+    progress meta. ``None`` start_epoch means nothing to resume. Mid-epoch
+    saves resume INSIDE the epoch, fast-forwarding the deterministic
+    loader order — the un-consumed remainder of a crashed epoch is trained
+    exactly once (the reference restarts the schedule and position
+    entirely, main_task_retrieval.py:215-222). Legacy epoch-labeled
+    checkpoints (no meta) resume at the next epoch as before."""
+    if not getattr(args, "resume", False):
+        return None, 0
+    latest = orbax_io.latest_step(ckpt_dir)
+    if latest is None:
+        return None, 0
+    meta = orbax_io.load_progress_meta(ckpt_dir, latest)
+    if meta is None:
+        log.info("resumed (legacy label) epoch %d from %s", latest,
+                 ckpt_dir)
+        return latest, 0
+    if meta.get("epoch_end", False):
+        log.info("resumed at epoch %d from %s (step %d)",
+                 meta["epoch"] + 1, ckpt_dir, latest)
+        return meta["epoch"] + 1, 0
+    log.info("resumed MID-EPOCH at epoch %d batch %d/%d from %s (step %d)",
+             meta["epoch"], meta["batch_in_epoch"],
+             meta["steps_per_epoch"], ckpt_dir, latest)
+    return meta["epoch"], meta["batch_in_epoch"]
+
+
 def run_finetune(args, log=None) -> Dict[str, float]:
     task, cross = _task_with_resolution(args)
     log = log or setup_logging(task.output_dir)
@@ -158,26 +186,45 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             use_frame_mask=task.use_frame_mask)
 
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
-    start_epoch = 0
-    if getattr(args, "resume", False):
+    start_epoch, resume_skip = _resolve_resume(args, ckpt_dir, log)
+    if start_epoch is not None or resume_skip:
         latest = orbax_io.latest_step(ckpt_dir)
-        if latest is not None:
-            state = orbax_io.restore_state(ckpt_dir, state, latest)
-            state = _place_restored_state(mesh, state, task.tp_size)
-            start_epoch = latest
-            log.info("resumed epoch %d from %s", latest, ckpt_dir)
+        state = orbax_io.restore_state(ckpt_dir, state, latest)
+        state = _place_restored_state(mesh, state, task.tp_size)
+    start_epoch = start_epoch or 0
 
     evaluator = Evaluator(model, task, weight_title=cross.weight_title)
     profiler = _Profiler(getattr(args, "profile_dir", None))
     best_r1, best_metrics = -1.0, {}
     global_step = int(state.step)
+    last_saved = None
     from hmmc_tpu.data.loader import device_prefetch
 
     def place(batch):
         return shard_batch(mesh, _prepare_finetune_batch(batch))
 
+    def save(epoch, batch_in_epoch, epoch_end=False):
+        nonlocal last_saved
+        meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch,
+                "steps_per_epoch": steps_per_epoch, "epoch_end": epoch_end}
+        if last_saved == global_step:
+            # epoch-end coinciding with a step-save: refresh the meta only
+            orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+            return
+        orbax_io.save_state(ckpt_dir, state, global_step)
+        orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+        last_saved = global_step
+
     for epoch in range(start_epoch, task.epochs):
         train_loader.set_epoch(epoch)
+        batch_in_epoch = 0
+        if resume_skip:
+            # exact mid-epoch resume: fast-forward the deterministic
+            # (seed, epoch) order past the batches the crashed run already
+            # trained on — every batch of the epoch is consumed once
+            train_loader.skip_batches(resume_skip)
+            batch_in_epoch = resume_skip
+            resume_skip = 0
         t_data, t_step = 0.0, 0.0
         t0 = time.time()
         save_steps = getattr(args, "save_steps", 0)
@@ -189,8 +236,9 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             t_data += t1 - t0
             t_step += t2 - t1
             global_step += 1
+            batch_in_epoch += 1
             if save_steps and global_step % save_steps == 0:
-                orbax_io.save_state(ckpt_dir, state, epoch + 1)
+                save(epoch, batch_in_epoch)
             if global_step % task.n_display == 0:
                 loss = float(metrics["loss"])
                 log.info(
@@ -199,7 +247,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                 writer.scalar("loss", loss, global_step)
                 t_data = t_step = 0.0
             t0 = time.time()
-        orbax_io.save_state(ckpt_dir, state, epoch + 1)
+        save(epoch, batch_in_epoch, epoch_end=True)
         if task.output_dir:
             orbax_io.save_reference_checkpoint(
                 os.path.join(task.output_dir,
@@ -293,24 +341,49 @@ def run_pretrain(args, log=None) -> None:
 
     mesh = make_mesh(MeshSpec(dp=task.dp_size))
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
-    start_epoch = 0
-    if getattr(args, "resume", False):
+    start_epoch, resume_skip = _resolve_resume(args, ckpt_dir, log)
+    if start_epoch is not None or resume_skip:
         latest = orbax_io.latest_step(ckpt_dir)
-        if latest is not None:
-            state = orbax_io.restore_state(ckpt_dir, state, latest)
-            state = _place_restored_state(mesh, state)
-            start_epoch = latest
+        state = orbax_io.restore_state(ckpt_dir, state, latest)
+        state = _place_restored_state(mesh, state)
+    start_epoch = start_epoch or 0
 
     from hmmc_tpu.data.loader import device_prefetch
 
-    rng = jax.random.PRNGKey(task.seed)
+    # RNG streams are derived by (purpose, global position) fold_in —
+    # not sequential splits — so a mid-epoch resume continues the exact
+    # stream the crashed run would have used.
+    base_rng = jax.random.PRNGKey(task.seed)
+    aug_rng = jax.random.fold_in(base_rng, 1)
+    step_rng = jax.random.fold_in(base_rng, 2)
     global_step = int(state.step)
+    save_steps = getattr(args, "save_steps", 0)
+    last_saved = None
+
+    def save(epoch, batch_in_epoch, epoch_end=False):
+        nonlocal last_saved
+        meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch,
+                "steps_per_epoch": steps_per_epoch, "epoch_end": epoch_end}
+        if last_saved == global_step:
+            orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+            return
+        orbax_io.save_state(ckpt_dir, state, global_step)
+        orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+        last_saved = global_step
+
     for epoch in range(start_epoch, task.epochs):
         loader.set_epoch(epoch)
+        batch_in_epoch = 0
+        if resume_skip:
+            loader.skip_batches(resume_skip)
+            batch_in_epoch = resume_skip
+            resume_skip = 0
+        aug_counter = epoch * steps_per_epoch + batch_in_epoch
 
         def place(batch):
-            nonlocal rng
-            rng, r_aug = jax.random.split(rng)
+            nonlocal aug_counter
+            r_aug = jax.random.fold_in(aug_rng, aug_counter)
+            aug_counter += 1
             if task.dataset == "vatex":
                 # pretrain over vatex uses the caption as both tag & title
                 # (dataloader_vatex_retrieval.py:248-249)
@@ -324,9 +397,12 @@ def run_pretrain(args, log=None) -> None:
                 randaugment=ra))
 
         for dev_batch in device_prefetch(iter(loader), place):
-            rng, r_step = jax.random.split(rng)
+            r_step = jax.random.fold_in(step_rng, global_step)
             state, metrics = step_fn(state, dev_batch, r_step)
             global_step += 1
+            batch_in_epoch += 1
+            if save_steps and global_step % save_steps == 0:
+                save(epoch, batch_in_epoch)
             if global_step % task.n_display == 0:
                 log.info(
                     "epoch %d step %d loss %.4f (FAM %.3f VTM %.3f FTM "
@@ -337,7 +413,7 @@ def run_pretrain(args, log=None) -> None:
                 for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
                           "loss_MLM"):
                     writer.scalar(k, float(metrics[k]), global_step)
-        orbax_io.save_state(ckpt_dir, state, epoch + 1)
+        save(epoch, batch_in_epoch, epoch_end=True)
         if task.output_dir:
             orbax_io.save_reference_checkpoint(
                 os.path.join(task.output_dir,

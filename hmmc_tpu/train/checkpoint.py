@@ -190,12 +190,129 @@ def import_clip_text(sd: StateDict) -> Dict:
     }
 
 
+def _bn(sub: StateDict, name: str) -> Tuple[Dict, Dict]:
+    """torch BatchNorm -> (flax params, flax batch_stats). The torch
+    ``num_batches_tracked`` counter has no flax equivalent and is ignored
+    on import (re-emitted as 0 on export)."""
+    params = {"scale": sub[f"{name}.weight"], "bias": sub[f"{name}.bias"]}
+    stats = {"mean": sub[f"{name}.running_mean"],
+             "var": sub[f"{name}.running_var"]}
+    return params, stats
+
+
+def _conv_nhwc(sub: StateDict, name: str) -> Dict:
+    # torch [O, I, kh, kw] -> flax [kh, kw, I, O]
+    return {"kernel": np.ascontiguousarray(
+        sub[f"{name}.weight"].transpose(2, 3, 1, 0))}
+
+
+def resnet_stage_blocks(sd: StateDict, prefix: str = "visual"
+                        ) -> Tuple[int, ...]:
+    """Block count per stage from the key names, exactly the reference's
+    sniff (module_clip.py:541-542)."""
+    return tuple(
+        len({k.split(".")[2] for k in sd
+             if k.startswith(f"{prefix}.layer{b}")}) for b in (1, 2, 3, 4))
+
+
+def import_clip_resnet(sd: StateDict, prefix: str = "visual"
+                       ) -> Tuple[Dict, Dict]:
+    """OpenAI CLIP ModifiedResNet state dict -> (params, batch_stats) for
+    models.resnet.ModifiedResNet (reference tower: module_clip.py:159-214;
+    shape-driven build: module_clip.py:536-549). Conv kernels transpose to
+    NHWC; BN running stats land in the flax batch_stats collection."""
+    sub = {k[len(prefix) + 1:]: v for k, v in sd.items()
+           if k.startswith(prefix + ".")}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # 3-conv stem
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv_nhwc(sub, f"conv{i}")
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sub, f"bn{i}")
+    # bottleneck stages: torch "layer{s}.{b}." -> flax "layer{s}_{b}"
+    for s, blocks in enumerate(resnet_stage_blocks(sd, prefix), start=1):
+        for b in range(blocks):
+            t = f"layer{s}.{b}"
+            f = f"layer{s}_{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"] = _conv_nhwc(sub, f"{t}.conv{i}")
+                bp[f"bn{i}"], bs[f"bn{i}"] = _bn(sub, f"{t}.bn{i}")
+            if f"{t}.downsample.0.weight" in sub:
+                bp["downsample_conv"] = _conv_nhwc(sub, f"{t}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sub, f"{t}.downsample.1")
+            params[f] = bp
+            stats[f] = bs
+    # attention pool (module_clip.py:115-156)
+    ap: Dict[str, Any] = {
+        "positional_embedding": sub["attnpool.positional_embedding"]}
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        ap[proj] = _lin(sub, f"attnpool.{proj}")
+    params["attnpool"] = ap
+    return params, stats
+
+
+def export_clip_resnet(params: Dict, stats: Dict,
+                       out: Optional[StateDict] = None,
+                       prefix: str = "visual.") -> StateDict:
+    """Inverse of :func:`import_clip_resnet` — emits the OpenAI CLIP RN
+    naming, including zeroed ``num_batches_tracked`` counters (flax BN
+    keeps no step counter)."""
+    sd: StateDict = {} if out is None else out
+
+    def put_conv(flax_tree: Dict, name: str) -> None:
+        sd[f"{name}.weight"] = np.ascontiguousarray(
+            np.asarray(flax_tree["kernel"]).transpose(3, 2, 0, 1))
+
+    def put_bn(p: Dict, s: Dict, name: str) -> None:
+        sd[f"{name}.weight"] = np.asarray(p["scale"])
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+        sd[f"{name}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{name}.running_var"] = np.asarray(s["var"])
+        sd[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    for i in (1, 2, 3):
+        put_conv(params[f"conv{i}"], f"{prefix}conv{i}")
+        put_bn(params[f"bn{i}"], stats[f"bn{i}"], f"{prefix}bn{i}")
+    for f in sorted(k for k in params if k.startswith("layer")):
+        s, b = f[len("layer"):].split("_")
+        t = f"{prefix}layer{s}.{b}"
+        bp, bs = params[f], stats[f]
+        for i in (1, 2, 3):
+            put_conv(bp[f"conv{i}"], f"{t}.conv{i}")
+            put_bn(bp[f"bn{i}"], bs[f"bn{i}"], f"{t}.bn{i}")
+        if "downsample_conv" in bp:
+            put_conv(bp["downsample_conv"], f"{t}.downsample.0")
+            put_bn(bp["downsample_bn"], bs["downsample_bn"],
+                   f"{t}.downsample.1")
+    ap = params["attnpool"]
+    sd[f"{prefix}attnpool.positional_embedding"] = np.asarray(
+        ap["positional_embedding"])
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        sd[f"{prefix}attnpool.{proj}.weight"] = np.ascontiguousarray(
+            np.asarray(ap[proj]["kernel"]).T)
+        sd[f"{prefix}attnpool.{proj}.bias"] = np.asarray(ap[proj]["bias"])
+    return sd
+
+
 def import_clip_weights(sd: StateDict, inflate_3d: bool = False
-                        ) -> Tuple[Dict, Dict, Array]:
-    """OpenAI CLIP state dict -> (visual_params, text_params, logit_scale)."""
-    visual = import_clip_visual(sd, "visual", inflate_3d=inflate_3d)
+                        ) -> Tuple[Dict, Dict, Array, Dict]:
+    """OpenAI CLIP state dict ->
+    (visual_params, text_params, logit_scale, visual_batch_stats).
+
+    Dispatches ViT vs ModifiedResNet on ``"visual.proj" in sd`` like the
+    reference's shape-driven build (module_clip.py:531). visual_batch_stats
+    is empty for ViT towers (no BN)."""
+    if "visual.proj" in sd:
+        visual = import_clip_visual(sd, "visual", inflate_3d=inflate_3d)
+        visual_stats: Dict = {}
+    else:
+        visual, visual_stats = import_clip_resnet(sd, "visual")
     text = import_clip_text(sd)
-    return visual, text, np.asarray(sd["logit_scale"], dtype=np.float32)
+    return (visual, text, np.asarray(sd["logit_scale"], dtype=np.float32),
+            visual_stats)
 
 
 # --------------------------------------------------------------------------
@@ -309,10 +426,25 @@ def _import_text_encoder(sd: StateDict, prefix: str, language: str) -> Dict:
 
 
 def _import_visual_encoder(sd: StateDict, prefix: str,
-                           use_temp: bool) -> Dict:
+                           use_temp: bool,
+                           out_stats: Optional[Dict] = None) -> Dict:
     sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if "visual.proj" not in sub and "visual.attnpool.positional_embedding" \
+            in sub:
+        # ModifiedResNet tower inside a full HMMC checkpoint
+        visual, vstats = import_clip_resnet(sub, "visual")
+        if out_stats is not None:
+            out_stats["visual"] = vstats
+        params = {"visual": visual}
+        if use_temp and "frame_position_embeddings.weight" in sub:
+            params["frame_position_embeddings"] = (
+                sub["frame_position_embeddings.weight"])
+            layers = _count_layers(sub, "temporal_transformer")
+            params["temporal_transformer"] = _import_resblocks(
+                sub, "temporal_transformer", layers)
+        return params
     inflate = "visual.conv2.weight" in sub
-    params: Dict[str, Any] = {
+    params = {
         "visual": import_clip_visual(sub, "visual", inflate_3d=False)}
     if inflate:
         w = sub["visual.conv2.weight"]  # [O, I, kt, kh, kw]
@@ -380,16 +512,20 @@ def import_hmmc_state_dict(
     648-663). Keys the checkpoint lacks are simply absent (partial load, as
     in until_module.py:129-160); the caller merges over fresh init."""
     sd = remap_gamma_beta(sd)
+    batch_stats: Dict[str, Any] = {}
+    visual_stats: Dict[str, Any] = {}
     params: Dict[str, Any] = {
         "text_encoder": _import_text_encoder(sd, "text_encoder.", language),
         "visual_encoder": _import_visual_encoder(
-            sd, "visual_encoder.", use_temp),
+            sd, "visual_encoder.", use_temp, out_stats=visual_stats),
     }
+    if visual_stats:
+        batch_stats["visual_encoder"] = visual_stats
     out: Dict[str, Any] = {"params": params}
     if not pretrain:
+        if batch_stats:
+            out["batch_stats"] = batch_stats
         return out
-
-    batch_stats: Dict[str, Any] = {}
     for tower, nl in (("t_projector", proj_num_layers),
                       ("t_projector_k", proj_num_layers),
                       ("v_projector", proj_num_layers),

@@ -57,6 +57,32 @@ def restore_state(directory: str, template: Any,
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
 
+def save_progress_meta(directory: str, step: int, meta: dict) -> None:
+    """Sidecar (epoch, batch_in_epoch) record for exact mid-epoch resume
+    (the reference loses optimizer state AND position entirely on resume,
+    main_task_retrieval.py:215-222). Lives next to — not inside — the
+    orbax step dirs so the checkpoint layout stays orbax-standard."""
+    import json
+
+    d = os.path.join(os.path.abspath(directory), "progress_meta")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{step}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(d, f"{step}.json"))
+
+
+def load_progress_meta(directory: str, step: int) -> Optional[dict]:
+    import json
+
+    path = os.path.join(os.path.abspath(directory), "progress_meta",
+                        f"{step}.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
 def restore_raw(directory: str, step: Optional[int] = None) -> Any:
     """Restore a checkpoint as a plain nested dict (no template) — used by
     the factory to pull just ``params`` out of a full training-state
@@ -135,7 +161,7 @@ def save_reference_checkpoint(path: str, params: Any,
                 ("v_predictor", params.get("v_predictor"),
                  st.batch_stats.get("v_predictor")),
                 ("t_projector_k", pk.get("t_projector"),
-                 st.batch_stats.get("t_projector")),
+                 st.batch_stats_k.get("t_projector")),
                 ("v_projector_k", pk.get("v_projector"),
                  st.batch_stats_k.get("v_projector"))):
             if tree is not None:

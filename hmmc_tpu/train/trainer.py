@@ -67,8 +67,14 @@ class PretrainState:
             params=params,
             params_k=init_key_params(params),
             batch_stats=stats,
+            # Key-side BN stats for BOTH projectors: t_projector_k never
+            # forwards (reference modeling.py:356-376 only invokes the v
+            # side) so its stats stay at init — tracked anyway so a
+            # reference checkpoint round-trip preserves them faithfully.
             batch_stats_k=jax.tree_util.tree_map(
-                jnp.copy, {"v_projector": stats.get("v_projector", {})}),
+                jnp.copy, {k: stats[k]
+                           for k in ("t_projector", "v_projector")
+                           if k in stats}),
             opt_state=tx.init(params),
             queues=queues,
             step=jnp.zeros((), jnp.int32))
@@ -103,7 +109,9 @@ def _accumulate(loss_fn: Callable, params, batch: Dict, n_accum: int,
     xs = (micro, jax.random.split(rng, n_accum)) if rng is not None else micro
     grads, auxes = jax.lax.scan(body, zero, xs)
     grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
-    aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+    # Mean over micro-batches so logged metrics describe the same global
+    # batch the accumulated gradient does (not just the last micro).
+    aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
     return grads, aux
 
 
@@ -259,7 +267,8 @@ def make_pretrain_step(
         keys = dict(title_k=title_k, tag_k=tag_k, v_k=v_k, frame_k=frame_k,
                     frame_proj_k=frame_proj_k)
         keys = jax.lax.stop_gradient(keys)
-        return keys, new_stats["batch_stats"]
+        # merge so non-forwarded key towers' stats (t_projector) persist
+        return keys, {**stats_k, **new_stats["batch_stats"]}
 
     def loss_fn(params, batch, rng, keys, queues, batch_stats):
         var = {"params": params, "batch_stats": batch_stats}
@@ -376,7 +385,8 @@ def make_pretrain_step(
             (params_k, stats_k, batch_stats, queues,
              grads), auxes = jax.lax.scan(body, carry0, (micro, rngs))
             grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
-            aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+            # Mean over micro-batches (see _accumulate).
+            aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -1,0 +1,128 @@
+"""Child process for the multi-process `jax.distributed` integration test
+(driven by tests/test_multihost.py; not collected by pytest).
+
+Each process owns 4 virtual CPU devices and its 1/process_count shard of
+every global batch (BatchLoader process sharding, the DistributedSampler
+semantics of dataloaders/dataloader.py:14); `shard_batch` assembles the
+global jax.Array via jax.make_array_from_process_local_data and the jitted
+fine-tune step runs over the dp mesh — the full --multihost path
+(runner.py) minus the real DCN fabric. The single-process invocation
+(nproc=1, 8 local devices) produces the ground truth the 2-process run
+must reproduce exactly.
+
+argv: proc_id nproc coordinator local_devices out_json
+"""
+
+import json
+import os
+import sys
+
+
+class SynthDataset:
+    """Deterministic per-index samples — identical on every process."""
+
+    def __init__(self, n, frames=2, res=16, ctx=8, vocab=64):
+        self.n, self.frames, self.res, self.ctx, self.vocab = (
+            n, frames, res, ctx, vocab)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        g = np.random.default_rng(1000 + i)
+        ids = g.integers(2, self.vocab, size=self.ctx).astype(np.int32)
+        ids[0] = 1
+        ids[-2:] = 0
+        mask = (ids != 0).astype(np.int32)
+        video = g.normal(size=(self.frames, self.res, self.res, 3)).astype(
+            np.float32)
+        return {"query_ids": ids, "query_mask": mask, "video": video,
+                "idx": np.int32(i)}
+
+
+def main():
+    proc_id, nproc = int(sys.argv[1]), int(sys.argv[2])
+    coordinator, local_devices, out_path = (
+        sys.argv[3], int(sys.argv[4]), sys.argv[5])
+
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    cache = os.environ.get("_HMMC_MH_CACHE")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if nproc > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=nproc, process_id=proc_id)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 8, jax.device_count()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hmmc_tpu.config import ClipArch, CrossConfig
+    from hmmc_tpu.data.loader import BatchLoader
+    from hmmc_tpu.models.retrieval import BirdModel
+    from hmmc_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
+
+    VOCAB, CTX, RES, F = 64, 8, 16, 2
+    arch = ClipArch(
+        embed_dim=32, image_resolution=RES, vision_layers=2,
+        vision_width=64, vision_patch_size=8, context_length=CTX,
+        vocab_size=VOCAB, transformer_width=64, transformer_heads=1,
+        transformer_layers=2)
+    cross = CrossConfig(temporal_hidden_size=32, temporal_attention_heads=2,
+                        temporal_hidden_layers=1, max_position_embeddings=8)
+    model = BirdModel(arch, cross)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CTX), jnp.int32),
+        jnp.ones((1, CTX), jnp.int32),
+        jnp.zeros((1, F, RES, RES, 3), jnp.float32))["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.01, warmup_proportion=0.1,
+                         t_total=4)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, cross, use_frame_fea=True)
+
+    mesh = make_mesh(MeshSpec(dp=8))
+    loader = BatchLoader(
+        SynthDataset(32, frames=F, res=RES, ctx=CTX, vocab=VOCAB),
+        batch_size=16, shuffle=True, drop_last=True, num_workers=1,
+        seed=5, process_index=jax.process_index(),
+        process_count=jax.process_count())
+    loader.set_epoch(0)
+
+    losses, gnorms = [], []
+    for batch in loader:
+        dev = shard_batch(mesh, batch)
+        state, m = step(state, dev)
+        losses.append(float(m["loss"]))
+        gnorms.append(float(m["grad_norm"]))
+
+    # parameter fingerprint AFTER the optimizer updates (replicated
+    # global arrays — identical on every process)
+    fp = float(sum(
+        float(jnp.sum(jnp.abs(x.astype(jnp.float64))))
+        for x in jax.tree_util.tree_leaves(state.params)))
+
+    if jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump({"losses": losses, "gnorms": gnorms,
+                       "fingerprint": fp,
+                       "process_count": int(jax.process_count())}, f)
+    # all processes exit cleanly so the coordinator shuts down
+    if nproc > 1:
+        jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

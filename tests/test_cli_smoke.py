@@ -200,9 +200,11 @@ def test_resume_continues_from_checkpoint(data_dir, cross_json, tmp_path):
     args.epochs = 2
     metrics = run_finetune(args)
     assert np.isfinite(metrics["R1"])
-    import glob
-    assert glob.glob(os.path.join(out, "ckpt", "2*")) or \
-        os.path.isdir(os.path.join(out, "ckpt", "2"))
+    from hmmc_tpu.train import orbax_io
+
+    latest = orbax_io.latest_step(os.path.join(out, "ckpt"))
+    meta = orbax_io.load_progress_meta(os.path.join(out, "ckpt"), latest)
+    assert meta["epoch"] == 1 and meta["epoch_end"]
 
 
 @pytest.fixture(scope="module")
@@ -361,6 +363,18 @@ def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
     ids = {r["video_id"] for r in res["results"]}
     assert ids <= {f"video{i}" for i in range(N_VIDEOS)}
 
+    # served scores must agree with offline retrieval on the same bank
+    # (tools/retrieve.py similarity_from_bank), including the frame top-k
+    # term — a served top-k must never disagree with --do_eval
+    from tools.retrieve import _norm, similarity_from_bank
+
+    bank = dict(np.load(bank_path, allow_pickle=False))
+    assert bool(bank["use_frame_fea"]) and svc.frames is not None
+    expected = similarity_from_bank(bank)
+    got = np.stack([svc.score(qn) for qn in _norm(
+        bank["query"].astype(np.float32))])
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
     httpd = make_server(svc, 0)   # port 0 = auto-assign (no collisions)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -419,11 +433,88 @@ def test_pretrain_resume_continues(data_dir, cross_json, tmp_path):
                  ["--do_pretrain", "--dataset", "bird",
                   "--contrast_num_negative", "16"])
     run_pretrain(args)
-    assert os.path.isdir(os.path.join(out, "ckpt", "1"))
+    from hmmc_tpu.train import orbax_io
+
+    ckpt = os.path.join(out, "ckpt")
+    first = orbax_io.latest_step(ckpt)
+    assert first is not None
+    assert orbax_io.load_progress_meta(ckpt, first)["epoch_end"]
 
     args2 = _args(data_dir, cross_json, out,
                   ["--do_pretrain", "--dataset", "bird",
                    "--contrast_num_negative", "16", "--resume"])
     args2.epochs = 2
     run_pretrain(args2)
-    assert os.path.isdir(os.path.join(out, "ckpt", "2"))
+    second = orbax_io.latest_step(ckpt)
+    assert second == 2 * first  # epoch 2 trained the same number of steps
+    meta = orbax_io.load_progress_meta(ckpt, second)
+    assert meta["epoch"] == 1 and meta["epoch_end"]
+
+
+def test_mid_epoch_resume_consumes_every_batch_once(
+        data_dir, cross_json, tmp_path, monkeypatch):
+    """--save_steps + crash + --resume = EXACT mid-epoch resume: the
+    restart fast-forwards the deterministic (seed, epoch) order and the
+    epoch's batches are trained exactly once across the two runs
+    (VERDICT r2 #5; the reference loses position AND optimizer state,
+    main_task_retrieval.py:215-222)."""
+    import hmmc_tpu.data.loader as loader_mod
+    from hmmc_tpu.runner import run_finetune
+    from hmmc_tpu.train import orbax_io
+
+    out = str(tmp_path / "mid")
+    consumed = []
+    orig = loader_mod.device_prefetch
+
+    class Crash(RuntimeError):
+        pass
+
+    def patched_factory(crash_after):
+        def patched(it, place, depth=2):
+            pending = []
+
+            def rec():
+                for b in it:
+                    pending.append(np.asarray(b["idx"]).copy())
+                    yield b
+
+            def gen():
+                for i, db in enumerate(orig(rec(), place, depth)):
+                    consumed.append(pending.pop(0))
+                    yield db
+                    if crash_after is not None and i + 1 == crash_after:
+                        raise Crash()
+            return gen()
+        return patched
+
+    # run 1: save every step, crash after the 1st of 3 batches
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt",
+                  "--save_steps", "1"])
+    monkeypatch.setattr(loader_mod, "device_prefetch", patched_factory(1))
+    with pytest.raises(Crash):
+        run_finetune(args)
+    assert len(consumed) == 1
+    ckpt = os.path.join(out, "ckpt")
+    latest = orbax_io.latest_step(ckpt)
+    meta = orbax_io.load_progress_meta(ckpt, latest)
+    assert meta == {"epoch": 0, "batch_in_epoch": 1,
+                    "steps_per_epoch": 3, "epoch_end": False}
+
+    # run 2: resume, finish the epoch
+    args2 = _args(data_dir, cross_json, out,
+                  ["--do_train", "--dataset", "msrvtt", "--resume"])
+    monkeypatch.setattr(loader_mod, "device_prefetch",
+                        patched_factory(None))
+    metrics = run_finetune(args2)
+    assert np.isfinite(metrics["R1"])
+
+    # every batch of the epoch consumed exactly once, in the one
+    # deterministic order a single uninterrupted run would have used
+    got = np.concatenate(consumed)
+    expect = np.random.default_rng(args.seed + 0).permutation(24)[:24]
+    np.testing.assert_array_equal(got, expect)
+    final = orbax_io.latest_step(ckpt)
+    fmeta = orbax_io.load_progress_meta(ckpt, final)
+    assert final == 3  # global steps == one epoch's worth, no repeats
+    assert fmeta["epoch_end"] and fmeta["epoch"] == 0

@@ -254,3 +254,54 @@ def test_video2framepack_manifest_resolution(tmp_path):
     m3.write_text(json.dumps(["d.mp4"]))
     _, items = load_manifest(str(m3), "/vr")
     assert items == [("d", "/vr/d.mp4")]
+
+
+class _SeededDataset(__import__("hmmc_tpu.data.datasets",
+                                fromlist=["SeededFrameSampling"]
+                                ).SeededFrameSampling):
+    """Samples are pure functions of the per-sample seeded rng."""
+
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i):
+        return {"draw": self._sample_rng(i).integers(0, 1 << 30, size=4)}
+
+
+def test_seeded_frame_sampling_reproducible_across_runs_and_workers():
+    """--seed reproduces frame sampling end-to-end (VERDICT r2 #8): the
+    per-sample (seed, epoch, idx) rng makes loader output independent of
+    worker-thread scheduling, reseeded per epoch, and distinct across
+    seeds. Reference seeds globally, main_task_retrieval.py:100-110."""
+    from hmmc_tpu.data.loader import BatchLoader
+
+    def run(seed, epoch, workers):
+        ld = BatchLoader(_SeededDataset(), batch_size=4, shuffle=True,
+                         num_workers=workers, seed=seed)
+        ld.set_epoch(epoch)
+        return [b["draw"] for b in ld]
+
+    a = run(7, 0, workers=1)
+    b = run(7, 0, workers=4)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # different epoch and different seed both change the draws
+    c = run(7, 1, workers=1)
+    d = run(8, 0, workers=1)
+    assert not all(np.array_equal(x, y) for x, y in zip(a, c))
+    assert not all(np.array_equal(x, y) for x, y in zip(a, d))
+
+
+def test_loader_seeds_dataset_without_set_epoch():
+    """Epoch-0 sampling is deterministic even when the caller never calls
+    set_epoch (eval/one-off loops seed at construction)."""
+    from hmmc_tpu.data.loader import BatchLoader
+
+    outs = []
+    for _ in range(2):
+        ld = BatchLoader(_SeededDataset(), batch_size=4, num_workers=2,
+                         seed=5)
+        outs.append([b["draw"] for b in ld])
+    for x, y in zip(*outs):
+        np.testing.assert_array_equal(x, y)

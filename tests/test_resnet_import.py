@@ -1,0 +1,191 @@
+"""OpenAI CLIP ModifiedResNet checkpoint import: shape-driven arch
+detection (module_clip.py:530-579), RN weight mapping into the NHWC flax
+tower, and a strict build->import->export round-trip (VERDICT r2 #7)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hmmc_tpu.config import ClipArch
+from hmmc_tpu.models.resnet import ModifiedResNet
+from hmmc_tpu.train import checkpoint as ckpt
+
+WIDTH, LAYERS, RES, EMB = 16, (3, 4, 6, 3), 64, 48
+TW, TLAYERS, CTX, VOCAB = 64, 2, 12, 128
+
+
+def _rn_clip_sd():
+    """Synthetic checkpoint with RN50's exact key naming and stage counts
+    (tiny width/resolution). Includes num_batches_tracked like real torch
+    BN state dicts."""
+    g = np.random.default_rng(0)
+
+    def t(*shape):
+        return (g.normal(size=shape) * 0.05).astype(np.float32)
+
+    sd = {}
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = t(c)
+        sd[f"{name}.bias"] = t(c)
+        sd[f"{name}.running_mean"] = t(c)
+        sd[f"{name}.running_var"] = np.abs(t(c)) + 1.0
+        sd[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    sd["visual.conv1.weight"] = t(WIDTH // 2, 3, 3, 3)
+    bn("visual.bn1", WIDTH // 2)
+    sd["visual.conv2.weight"] = t(WIDTH // 2, WIDTH // 2, 3, 3)
+    bn("visual.bn2", WIDTH // 2)
+    sd["visual.conv3.weight"] = t(WIDTH, WIDTH // 2, 3, 3)
+    bn("visual.bn3", WIDTH)
+
+    inplanes, planes = WIDTH, WIDTH
+    for s, blocks in enumerate(LAYERS, start=1):
+        stride = 1 if s == 1 else 2
+        for b in range(blocks):
+            p = f"visual.layer{s}.{b}"
+            sd[f"{p}.conv1.weight"] = t(planes, inplanes, 1, 1)
+            bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = t(planes, planes, 3, 3)
+            bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = t(planes * 4, planes, 1, 1)
+            bn(f"{p}.bn3", planes * 4)
+            if b == 0 and (stride > 1 or inplanes != planes * 4):
+                sd[f"{p}.downsample.0.weight"] = t(planes * 4, inplanes,
+                                                   1, 1)
+                bn(f"{p}.downsample.1", planes * 4)
+            inplanes = planes * 4
+        planes *= 2
+
+    embed = WIDTH * 32
+    sd["visual.attnpool.positional_embedding"] = t((RES // 32) ** 2 + 1,
+                                                   embed)
+    for proj, o in (("q_proj", embed), ("k_proj", embed),
+                    ("v_proj", embed), ("c_proj", EMB)):
+        sd[f"visual.attnpool.{proj}.weight"] = t(o, embed)
+        sd[f"visual.attnpool.{proj}.bias"] = t(o)
+
+    # text tower (needed by from_state_dict; standard ViT-checkpoint names)
+    sd["token_embedding.weight"] = t(VOCAB, TW)
+    sd["positional_embedding"] = t(CTX, TW)
+    sd["text_projection"] = t(TW, EMB)
+    sd["ln_final.weight"] = t(TW)
+    sd["ln_final.bias"] = t(TW)
+    sd["logit_scale"] = np.float32(4.0)
+    for i in range(TLAYERS):
+        b = f"transformer.resblocks.{i}"
+        sd[f"{b}.attn.in_proj_weight"] = t(3 * TW, TW)
+        sd[f"{b}.attn.in_proj_bias"] = t(3 * TW)
+        sd[f"{b}.attn.out_proj.weight"] = t(TW, TW)
+        sd[f"{b}.attn.out_proj.bias"] = t(TW)
+        sd[f"{b}.ln_1.weight"] = t(TW)
+        sd[f"{b}.ln_1.bias"] = t(TW)
+        sd[f"{b}.ln_2.weight"] = t(TW)
+        sd[f"{b}.ln_2.bias"] = t(TW)
+        sd[f"{b}.mlp.c_fc.weight"] = t(4 * TW, TW)
+        sd[f"{b}.mlp.c_fc.bias"] = t(4 * TW)
+        sd[f"{b}.mlp.c_proj.weight"] = t(TW, 4 * TW)
+        sd[f"{b}.mlp.c_proj.bias"] = t(TW)
+    return sd
+
+
+def test_shape_driven_arch_detection():
+    """ClipArch.from_state_dict mirrors the reference's shape sniffing for
+    both tower families (module_clip.py:530-549)."""
+    sd = _rn_clip_sd()
+    arch = ClipArch.from_state_dict(sd)
+    assert arch.is_resnet
+    assert arch.vision_layers == LAYERS
+    assert arch.vision_width == WIDTH
+    assert arch.image_resolution == RES
+    assert arch.vision_patch_size == 0
+    assert arch.embed_dim == EMB
+    assert arch.context_length == CTX
+    assert arch.vocab_size == VOCAB
+    assert arch.transformer_width == TW
+    assert arch.transformer_layers == TLAYERS
+    assert arch.vision_heads == WIDTH * 32 // 64
+
+
+def _flat_paths(tree):
+    return {jax.tree_util.keystr(kp): np.asarray(v).shape
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def test_rn_import_matches_init_structure_and_forward():
+    sd = _rn_clip_sd()
+    arch = ClipArch.from_state_dict(sd)
+    net = ModifiedResNet(
+        layers=tuple(arch.vision_layers), output_dim=arch.embed_dim,
+        heads=arch.vision_heads, input_resolution=arch.image_resolution,
+        width=arch.vision_width)
+    x = jnp.ones((2, RES, RES, 3))
+    init_vars = net.init(jax.random.PRNGKey(0), x)
+
+    params, stats = ckpt.import_clip_resnet(sd, "visual")
+    # exact tree congruence with a fresh init (every param consumed)
+    assert _flat_paths(init_vars["params"]) == _flat_paths(params)
+    assert _flat_paths(init_vars["batch_stats"]) == _flat_paths(stats)
+
+    out = net.apply({"params": params, "batch_stats": stats}, x)
+    assert out.shape == (2, EMB)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rn_export_round_trip_strict():
+    """build -> import -> export reproduces the reference state dict with
+    STRICT name equality and exact values (VERDICT done-criterion)."""
+    sd = _rn_clip_sd()
+    params, stats = ckpt.import_clip_resnet(sd, "visual")
+    out = ckpt.export_clip_resnet(params, stats, prefix="visual.")
+    want = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    assert set(out) == set(want)
+    for k in want:
+        np.testing.assert_allclose(out[k], want[k], atol=0, rtol=0,
+                                   err_msg=k)
+
+
+def test_build_model_with_rn_checkpoint(tmp_path):
+    """factory.build_model consumes an RN CLIP checkpoint end-to-end:
+    shape-driven arch, weights + BN stats land, video forward runs."""
+    torch = pytest.importorskip("torch")
+
+    from hmmc_tpu import factory
+    from hmmc_tpu.config import CrossConfig, TaskConfig
+
+    sd = _rn_clip_sd()
+    path = str(tmp_path / "RN-tiny.pt")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               path)
+
+    cross_json = tmp_path / "cross.json"
+    cross_json.write_text(json.dumps({
+        "pretrained_clip_name": "RN50", "temporal_hidden_size": EMB,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 1,
+        "max_position_embeddings": 8}))
+    task = TaskConfig(do_eval=True, language="english",
+                      cross_model=str(cross_json), max_words=CTX,
+                      max_frames=2, compute_dtype="float32")
+    cross = CrossConfig.from_json(str(cross_json))
+    model, variables = factory.build_model(
+        task, cross, vocab_size=VOCAB, clip_model_path=path)
+
+    p = variables["params"]
+    np.testing.assert_allclose(
+        np.asarray(p["visual_encoder"]["visual"]["attnpool"]["c_proj"]
+                   ["kernel"]),
+        sd["visual.attnpool.c_proj.weight"].T, atol=1e-6)
+    bs = variables["batch_stats"]["visual_encoder"]["visual"]
+    np.testing.assert_allclose(np.asarray(bs["bn1"]["mean"]),
+                               sd["visual.bn1.running_mean"], atol=1e-6)
+
+    video = jnp.zeros((1, 2, RES, RES, 3), jnp.float32)
+    v, f = model.apply(
+        {"params": p, "batch_stats": variables["batch_stats"]}, video,
+        method="encode_video")
+    assert v.shape == (1, EMB) and f.shape == (1, 2, EMB)
+    assert np.isfinite(np.asarray(v)).all()

@@ -48,8 +48,11 @@ def check(name: str, a, b, atol: float = 1e-4):
 
 def load_reference(root: str):
     # stub ONLY the genuinely missing third-party deps of the reference's
-    # file_utils (download machinery we never exercise)
-    for fake in ("boto3", "botocore", "botocore.exceptions", "tqdm"):
+    # file_utils (download machinery we never exercise) and diffdist
+    # (single-process all_gather is the identity; modeling.dist_collect is
+    # monkeypatched to it before any forward)
+    for fake in ("boto3", "botocore", "botocore.exceptions", "tqdm",
+                 "diffdist", "diffdist.functional", "ftfy"):
         try:
             importlib.import_module(fake)
             continue
@@ -61,6 +64,11 @@ def load_reference(root: str):
             m.ClientError = type("ClientError", (Exception,), {})
         if fake == "tqdm":
             m.tqdm = lambda *a, **k: (a[0] if a else None)
+        if fake == "diffdist.functional":
+            m.all_gather = None  # never called (dist_collect patched)
+            sys.modules["diffdist"].functional = m
+        if fake == "ftfy":
+            m.fix_text = lambda t: t  # tokenizer text path never exercised
         sys.modules[fake] = m
     pkg = types.ModuleType("modules")
     pkg.__path__ = [os.path.join(root, "modules")]
@@ -165,9 +173,302 @@ def _check_chinese(mcross, tmp, check):
     check("zh pooled text feature", np.asarray(q), tq.numpy(), 2e-5)
 
 
+def _make_hf_config_dir(tmp: str, name: str, hidden: int = 32) -> str:
+    """Minimal local HF config dir so AutoConfig.from_pretrained resolves
+    (BirdPreTrainedModel reads it for the MLM head config,
+    modeling.py:110-120; hidden_size/vocab_size are overridden there)."""
+    import json
+
+    d = os.path.join(tmp, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["BertModel"], "model_type": "bert",
+            "vocab_size": 50, "hidden_size": hidden,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "intermediate_size": 64, "max_position_embeddings": 512,
+            "hidden_act": "gelu", "layer_norm_eps": 1e-12}, f)
+    return d
+
+
+def _fixed_mlm_mask_ours(rng, input_ids, vocab_size, mask_token_id,
+                         pad_token_id, cls_token_id, mlm_probability=0.15):
+    """Deterministic stand-in for models.pretrain.mask_tokens: mask every
+    position with index % 5 == 2 (minus pad/cls) and always take the
+    '80%' [MASK]-replacement branch — same rule as the reference-side
+    injection, so both engines see identical masked inputs + labels."""
+    import jax.numpy as jnp
+
+    pos = (jnp.arange(input_ids.shape[-1]) % 5) == 2
+    masked = jnp.broadcast_to(pos, input_ids.shape)
+    masked = masked & (input_ids != pad_token_id) & (
+        input_ids != cls_token_id)
+    labels = jnp.where(masked, input_ids, -100)
+    out = jnp.where(masked, mask_token_id, input_ids)
+    return out, labels
+
+
+def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
+    """ONE full MoCo pretrain step through the reference's OWN
+    BirdPreTrainedModel.forward (modeling.py:334-436) vs our jitted
+    make_pretrain_step: all four losses + total, post-EMA key towers,
+    post-enqueue queues + ptr, and post-step BN running stats.
+
+    A fixed MLM mask is injected on BOTH sides (the only randomness in
+    the step); dist_collect is the single-process identity."""
+    import contextlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import hmmc_tpu.train.trainer as trainer_mod
+    from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+    from hmmc_tpu.models.pretrain import BirdPretrainModel, MoCoQueues
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+    from hmmc_tpu.train.trainer import PretrainState, make_pretrain_step
+
+    g = geom
+    PAD, CLS, MASKID = g["pad"], g["cls"], g["mask"]
+
+    arch = ClipArch(
+        embed_dim=g["emb"], image_resolution=g["res"],
+        vision_layers=g["vlayers"], vision_width=g["w"],
+        vision_patch_size=g["patch"], context_length=g["ctx"],
+        vocab_size=g["vocab"], transformer_width=g["tw"],
+        transformer_heads=g["tw"] // 64, transformer_layers=g["tlayers"])
+    cross = CrossConfig(
+        temporal_hidden_size=g["emb"],
+        temporal_attention_heads=g["theads"],
+        temporal_hidden_layers=g["temporal_layers"],
+        max_position_embeddings=max(8, g["frames"]))
+    task = TaskConfig(
+        do_pretrain=True, dataset="bird", language="english",
+        use_temp=True, use_frame_fea=True, max_frames=g["frames"],
+        contrast_num_negative=g["K"], compute_dtype="float32",
+        top_frames=1)
+
+    # ---- ours: build, create state, export EVERYTHING for the reference
+    model = BirdPretrainModel(vocab_size=g["vocab"], arch=arch,
+                              cross_config=cross)
+    ids0 = jnp.zeros((1, g["ctx"]), jnp.int32)
+    mask0 = jnp.ones((1, g["ctx"]), jnp.int32)
+    vid0 = jnp.zeros((1, g["frames"], g["res"], g["res"], 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(21), ids0, mask0, vid0)
+    tx = optax.set_to_zero()  # isolate the step from optimizer choice
+    queues = MoCoQueues.create(jax.random.PRNGKey(7), g["emb"], g["K"],
+                               g["frames"])
+    state = PretrainState.create(variables, tx, queues)
+    before = os.path.join(tmp, f"pretrain_before_{tag}.bin")
+    save_reference_checkpoint(before, state.params, language="english",
+                              pretrain_state=state)
+    sd_before = torch.load(before, map_location="cpu", weights_only=True)
+
+    # synthetic CLIP file at this geometry so the reference ctors build
+    clip_sd = {}
+    for k, v in sd_before.items():
+        if k.startswith("visual_encoder.visual."):
+            clip_sd[k[len("visual_encoder."):]] = v
+        elif (k.startswith("text_encoder.")
+              and not k.startswith("text_encoder_k.")):
+            kk = k[len("text_encoder."):]
+            if kk != "logit_scale" and "chinese" not in kk:
+                clip_sd[kk] = v
+    clip_sd["logit_scale"] = sd_before["text_encoder.logit_scale"]
+    clip_path = os.path.join(tmp, f"PretrainCLIP_{tag}.pt")
+    torch.save(clip_sd, clip_path)
+
+    # ---- reference model
+    hf_dir = _make_hf_config_dir(tmp, f"hf_en_{tag}")
+    task_ns = types.SimpleNamespace(
+        local_rank=0, rank=0, use_temp=True, language="english",
+        pretrained_text=hf_dir, top_frames=1, contrast_momentum=0.99,
+        contrast_temperature=0.07, contrast_num_negative=g["K"],
+        max_frames=g["frames"], n_display=10 ** 9, dataset="bird",
+        use_frame_fea=True, logdir="")
+    cc = mcross.CrossConfig(vocab_size_or_config_json_file=0)
+    for k, v in dict(
+            temporal_hidden_size=g["emb"],
+            temporal_attention_heads=g["theads"],
+            temporal_hidden_layers=g["temporal_layers"],
+            max_position_embeddings=max(8, g["frames"]),
+            chinese_hidden_size=32, mlm_probability=0.15,
+            weight_FAM=0.05, weight_VTM=0.45, weight_FTM=0.45,
+            weight_MLM=0.05, proj_num_layers=2, pred_num_layers=2,
+            pretrained_clip_name=clip_path).items():
+        setattr(cc, k, v)
+
+    class _StubTok:
+        vocab_size = g["vocab"]
+        pad_token_id = PAD
+        cls_token_id = CLS
+        mask_token_id = MASKID
+
+        def __init__(self, *a, **k):
+            pass
+
+    # single-process semantics + CPU execution for the reference engine
+    rmod.dist_collect = lambda x: x
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    orig_tok = rmod.ClipTokenizer
+    rmod.ClipTokenizer = _StubTok
+    try:
+        rm = rmod.BirdPreTrainedModel(cc, task_ns)
+    finally:
+        rmod.ClipTokenizer = orig_tok
+    if g["emb"] != 512:
+        # reference quirk: MLP in/out dims are HARD-CODED to 512
+        # (modeling.py:789) — it only works because temporal_hidden_size
+        # is 512 in every shipped config. At tiny geometry, swap in
+        # correctly-sized instances of the reference's own MLP class
+        # post-construction (and rebuild model_pairs so the momentum EMA
+        # sees them); the flagship geometry runs the ctor untouched.
+        for name in ("t_projector", "t_projector_k", "v_projector",
+                     "v_projector_k", "v_predictor"):
+            nl = 2
+            setattr(rm, name, torch.nn.SyncBatchNorm.convert_sync_batchnorm(
+                rmod.MLP(in_dim=g["emb"], inner_dim=4096, out_dim=g["emb"],
+                         num_layers=nl)))
+        rm.model_pairs = [
+            [rm.visual_encoder, rm.visual_encoder_k],
+            [rm.text_encoder, rm.text_encoder_k],
+            [rm.v_projector, rm.v_projector_k],
+            [rm.t_projector, rm.t_projector_k]]
+    # logit_scale is a plain tensor attribute on the reference TextEncoder
+    # (module_cross.py:250 deepcopies it from the CLIP state dict) — not a
+    # registered param/buffer, so it must bypass load_state_dict
+    load_sd = dict(sd_before)
+    for enc in ("text_encoder", "text_encoder_k"):
+        ls = load_sd.pop(f"{enc}.logit_scale", None)
+        if ls is not None:
+            getattr(rm, enc).logit_scale = ls.clone().float()
+    missing, unexpected = rm.load_state_dict(load_sd, strict=False)
+    benign = {"cls.decoder.bias"}  # tied twin of the loaded cls.bias
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+    assert set(missing) <= benign, f"missing keys: {missing[:5]}"
+    rm = rm.float().train()
+
+    def ref_fixed_mask(input_ids, vocab_size, device, targets=None,
+                       masked_indices=None, probability_matrix=None):
+        pos = (torch.arange(input_ids.shape[-1]) % 5) == 2
+        mi = pos.unsqueeze(0).expand_as(input_ids).clone()
+        mi &= (input_ids != PAD) & (input_ids != CLS)
+        if targets is not None:
+            targets[~mi] = -100
+        input_ids[mi] = MASKID
+        if targets is not None:
+            return input_ids, targets
+        return input_ids
+
+    rm.mask = ref_fixed_mask
+    rec = {}
+
+    def record(name, fn):
+        def w(*a, **k):
+            out = fn(*a, **k)
+            rec.setdefault(name, []).append(float(out))
+            return out
+        return w
+
+    rm.frame_self_loss = record("FAM", rm.frame_self_loss)
+    rm.frame_cross_loss = record("FTM", rm.frame_cross_loss)
+    rm.get_mlm_loss = record("MLM", rm.get_mlm_loss)
+
+    # ---- shared batch
+    rng = np.random.default_rng(17)
+    B, F, L = g["batch"], g["frames"], g["ctx"]
+
+    def make_ids():
+        ids = rng.integers(2, g["vocab"] - 2, size=(B, L)).astype(np.int64)
+        ids[:, 0] = CLS
+        for r in range(B):
+            ids[r, 6 + r:] = PAD
+        return ids
+
+    tag_ids, title_ids = make_ids(), make_ids()
+    tag_mask = (tag_ids != PAD).astype(np.int64)
+    tag_mask[:, 0] = 1
+    title_mask = (title_ids != PAD).astype(np.int64)
+    title_mask[:, 0] = 1
+    video = rng.normal(size=(B, F, 3, g["res"], g["res"])).astype(
+        np.float32)
+
+    ref_loss = rm(torch.tensor(video), F, torch.tensor(tag_ids),
+                  torch.tensor(tag_mask), torch.tensor(title_ids),
+                  torch.tensor(title_mask), 1)
+
+    # ---- our jitted step on the same inputs
+    trainer_mod.mask_tokens = _fixed_mlm_mask_ours
+    step_fn = make_pretrain_step(model, tx, cross, task,
+                                 mask_token_id=MASKID, pad_token_id=PAD,
+                                 cls_token_id=CLS)
+    batch = {
+        "title_ids": jnp.asarray(title_ids.astype(np.int32)),
+        "title_mask": jnp.asarray(title_mask.astype(np.int32)),
+        "tag_ids": jnp.asarray(tag_ids.astype(np.int32)),
+        "tag_mask": jnp.asarray(tag_mask.astype(np.int32)),
+        "video": jnp.asarray(video.transpose(0, 1, 3, 4, 2)),
+    }
+    ctx = contextlib.nullcontext() if jit else jax.disable_jit()
+    with ctx:
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    # ---- losses (VTM derived from the total: the reference computes it
+    # inline, the other three via the recorded methods)
+    fam = rec["FAM"][0]
+    ftm = sum(rec["FTM"]) / len(rec["FTM"])
+    mlm = sum(rec["MLM"]) / len(rec["MLM"])
+    total = float(ref_loss)
+    vtm = (total - 0.05 * fam - 0.45 * ftm - 0.05 * mlm) / 0.45
+    tol = g.get("tol", 1e-4)
+    check(f"{tag} loss_FAM", float(metrics["loss_FAM"]), fam, tol)
+    check(f"{tag} loss_VTM", float(metrics["loss_VTM"]), vtm, tol)
+    check(f"{tag} loss_FTM", float(metrics["loss_FTM"]), ftm, tol)
+    check(f"{tag} loss_MLM", float(metrics["loss_MLM"]), mlm, tol)
+    check(f"{tag} total loss", float(metrics["loss"]), total, tol)
+
+    # ---- post-step state: EMA'd keys, queues+ptr, BN running stats
+    after = os.path.join(tmp, f"pretrain_after_{tag}.bin")
+    save_reference_checkpoint(after, new_state.params, language="english",
+                              pretrain_state=new_state)
+    sd_after = torch.load(after, map_location="cpu", weights_only=True)
+    ref_after = {k: v.detach().float().numpy()
+                 for k, v in rm.state_dict().items()}
+    groups = {
+        "EMA key towers": lambda k: ("_k." in k),
+        "queues": lambda k: k.startswith("queue_") and k != "queue_ptr",
+        "queue_ptr": lambda k: k == "queue_ptr",
+        "BN running stats": lambda k: "running_" in k and "_k." not in k,
+        "query towers (unchanged)": lambda k: (
+            "_k." not in k and not k.startswith("queue_")
+            and "running_" not in k),
+    }
+    worst = {name: 0.0 for name in groups}
+    ref_after["text_encoder.logit_scale"] = (
+        rm.text_encoder.logit_scale.detach().float().numpy())
+    ref_after["text_encoder_k.logit_scale"] = (
+        rm.text_encoder_k.logit_scale.detach().float().numpy())
+    for k, v in sd_after.items():
+        if "num_batches_tracked" in k:
+            continue
+        assert k in ref_after, f"{k} not in reference state_dict"
+        d = float(np.max(np.abs(np.asarray(v, np.float64)
+                                - np.asarray(ref_after[k], np.float64))))
+        for name, pred in groups.items():
+            if pred(k):
+                worst[name] = max(worst[name], d)
+                break
+    for name, d in worst.items():
+        check(f"{tag} {name}", d, 0.0, tol)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--skip-flagship", action="store_true",
+                   help="skip the full ViT-B/32 geometry checks (slower)")
     args = p.parse_args()
     if not os.path.isdir(os.path.join(args.reference, "modules")):
         print(f"reference checkout not found at {args.reference}; skipping")
@@ -408,6 +709,25 @@ def main():
                 np.asarray(get(ours_p, pth))
                 - tp[n].detach().numpy()).max()))
     check("BertAdam 4-step trajectory", worst, 0.0, 3e-5)
+
+    import modules.modeling as rmod
+
+    print("[full BirdPreTrainedModel MoCo step — executed side-by-side]")
+    tiny_geom = dict(emb=32, res=32, vlayers=2, w=64, patch=16, ctx=16,
+                     vocab=512, tw=64, tlayers=2, theads=2,
+                     temporal_layers=2, frames=3, batch=4, K=8,
+                     pad=0, cls=1, mask=509)
+    check_pretrain_full(rmod, mcross, tmp, check, tiny_geom, jit=True,
+                        tag="tiny")
+    if not args.skip_flagship:
+        print("[full MoCo step at FLAGSHIP ViT-B/32 geometry "
+              "(12-layer towers, 77-ctx, 49408-vocab, patch-32, 224px)]")
+        flag_geom = dict(emb=512, res=224, vlayers=12, w=768, patch=32,
+                         ctx=77, vocab=49408, tw=512, tlayers=12,
+                         theads=8, temporal_layers=4, frames=3, batch=2,
+                         K=4, pad=49407, cls=49406, mask=49394)
+        check_pretrain_full(rmod, mcross, tmp, check, flag_geom,
+                            jit=False, tag="ViT-B/32")
 
     print(f"\n{PASS} checks passed, {FAIL} failed")
     sys.exit(1 if FAIL else 0)

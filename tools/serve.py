@@ -61,6 +61,22 @@ class RetrievalService:
         self.video = _norm(bank["video"].astype(np.float32))
         self.video_ids = [str(v) for v in bank["video_ids"]] \
             if "video_ids" in bank else [str(i) for i in range(len(self.video))]
+        # Frame top-k and title terms: serve ranks with exactly the
+        # composition --do_eval / tools/retrieve.py use on the same bank
+        # (similarity_from_bank), so a served top-k never disagrees with
+        # offline retrieval for the same checkpoint. Normalized once here;
+        # per query each term is one matmul over the precomputed bank.
+        self.frames = None
+        self.top_frames = 0
+        if bool(bank.get("use_frame_fea", False)) and "frames" in bank:
+            self.frames = _norm(bank["frames"].astype(np.float32))  # [V,F,H]
+            self.top_frames = min(int(bank["top_frames"]),
+                                  self.frames.shape[1])
+        self.title = None
+        self.weight_title = 0.0
+        if "title" in bank:
+            self.title = _norm(bank["title"].astype(np.float32))
+            self.weight_title = float(bank.get("weight_title", 0.5))
 
         import jax.numpy as jnp
 
@@ -73,6 +89,21 @@ class RetrievalService:
         # warm the compile so the first query isn't a compile
         self.search("warmup query")
 
+    def score(self, q: np.ndarray) -> np.ndarray:
+        """[V] logits for one normalized query vector — the same
+        composition retrieve.similarity_from_bank applies to the full
+        bank (loose sim + top-k frame logits + weighted title term)."""
+        sim = self.scale * (self.video @ q)
+        if self.frames is not None:
+            # top-k frame logits, mean over the k best frames per video
+            # (main_task_retrieval.py:332-336)
+            fl = self.scale * (self.frames @ q)          # [V, F]
+            top = np.sort(fl, axis=-1)[:, -self.top_frames:]
+            sim = sim + top.mean(axis=-1)
+        if self.title is not None:
+            sim = sim + self.weight_title * self.scale * (self.title @ q)
+        return sim
+
     def search(self, text: str, topk: int = 5):
         from hmmc_tpu.data.text import encode_text
 
@@ -80,7 +111,7 @@ class RetrievalService:
         ids, mask = encode_text(self.tokenizer, text, self.task.max_words,
                                 self.task.language)
         q = np.asarray(self._encode(self.params, ids[None], mask[None]))[0]
-        sim = self.scale * (self.video @ q)
+        sim = self.score(q)
         order = np.argsort(-sim)[:topk]
         latency = (time.perf_counter() - t0) * 1e3
         return {
