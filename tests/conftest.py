@@ -2,27 +2,37 @@
 collectives, and queue semantics are testable without a TPU
 (SURVEY.md §4's recommended strategy).
 
-Two host-level hardening measures (round-2 verdict: the suite aborted
-with a native SIGABRT before printing its summary, 2/3 times mid-suite
-and once after [100%]):
+Host-level hardening (round-2 verdict: the suite aborted with a native
+SIGABRT before printing its summary, 2/3 times mid-suite and once after
+[100%]). Round-3 root-caused all three failure modes:
 
-1. The persistent XLA compile cache is keyed by a fingerprint of the
+1. **Mid-suite SIGABRT (the flaky-red gate)** — XLA:CPU's in-process
+   collective rendezvous terminates the process when the 8 virtual
+   devices' participant threads fail to meet within a hard 40 s window
+   (rendezvous.cc LOG(FATAL)). Root cause (ptrace stack scans of two
+   live hangs, docs/design.md): free-running dispatch loops saturate
+   the per-device inflight-computation semaphore, starving the
+   remaining participants on this 1-core host. Fixes: tests that loop
+   over a multi-device step fetch one scalar per step (the production
+   dispatch profile of runner.py); ASYNC dispatch is kept (sync
+   dispatch drops the semaphore to capacity 1 — a PERMANENT collective
+   deadlock); and the termination timeout below gives margin for
+   suite-load scheduling jitter. The F-log lands in pytest's captured
+   stderr and dies with the process, which is why the abort looks
+   silent.
+2. The persistent XLA compile cache is keyed by a fingerprint of the
    host CPU's feature flags: XLA:CPU AOT results are machine-specific,
    and loading entries compiled on a previous round's (different) host
-   machine is undefined behavior ("could lead to execution errors such
-   as SIGILL" per xla's cpu_aot_loader, observed live on this cache) —
-   the prime suspect for the mid-suite aborts.
-2. The environment's sitecustomize registers an out-of-process
+   prints "could lead to execution errors such as SIGILL" (observed
+   live on this cache).
+3. The environment's sitecustomize registers an out-of-process
    accelerator PJRT plugin at interpreter start; its .so stays dlopen'd
    in the test process even when jax is forced onto CPU (verified via
    /proc/self/maps), and native teardown of such a plugin (or a
    worker thread still alive at interpreter shutdown) can abort the
-   process AFTER the run is over. The tests can't unload a third-party
-   .so, so pytest_sessionfinish flushes the summary and exits the
-   process with the session's real exit status via os._exit, skipping
-   the native teardown entirely. This is a guard, not a mask: any
-   failure still reports normally, and an abort DURING the run is
-   unaffected by it.
+   process AFTER the run is over. pytest_unconfigure flushes the
+   summary and exits via os._exit — a guard, not a mask: failures
+   still report normally, and an abort DURING the run is unaffected.
 """
 
 import hashlib
@@ -31,8 +41,22 @@ import platform
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # ROOT CAUSE of the round-2 "Fatal Python error: Aborted" (SIGABRT):
+    # XLA:CPU cross-device collectives rendezvous all 8 virtual devices'
+    # threads with a hard 40 s termination timeout (rendezvous.cc:127
+    # "Expected 8 threads to join the rendezvous, but only 7 arrived on
+    # time" -> LOG(FATAL) -> abort). On a 1-core host the 8 participant
+    # threads multiplex one CPU, and under suite-load scheduling jitter a
+    # participant occasionally misses the 40 s window. The F-log went to
+    # pytest's captured stderr and died with the process, which is why
+    # the abort looked silent. Raise the termination timeout far above
+    # any plausible scheduling delay.
+    flags = (flags
+             + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -40,6 +64,10 @@ import jax  # noqa: E402
 # selects itself via jax.config (overriding JAX_PLATFORMS from the env),
 # so the override must happen in-process, before any backend init.
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: keep ASYNC cpu dispatch (the default). Synchronous dispatch
+# deadlocks 8-device collectives on this host — capacity-1 inflight
+# semaphore vs a blocking rendezvous (see module docstring, point 1).
 
 
 def _host_fingerprint() -> str:
@@ -69,6 +97,20 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
+
+# Debug aid (no-op unless set): re-arm a native SIGABRT backtrace handler
+# before every test — some loaded native library replaces signal handlers
+# after interpreter start, which silences LD_PRELOAD-installed ones.
+_ABORT_TRACE = os.environ.get("_HMMC_ABORT_TRACE")
+if _ABORT_TRACE:
+    import ctypes
+
+    _at_lib = ctypes.CDLL(_ABORT_TRACE)
+
+    @pytest.fixture(autouse=True)
+    def _rearm_abort_trace():
+        _at_lib.abort_trace_install()
+        yield
 
 
 _exitstatus = {"code": 0}

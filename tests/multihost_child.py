@@ -48,17 +48,24 @@ def main():
         sys.argv[3], int(sys.argv[4]), sys.argv[5])
 
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={local_devices}")
+        f"--xla_force_host_platform_device_count={local_devices}"
+        # same 1-core rendezvous-timeout guard as tests/conftest.py
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     cache = os.environ.get("_HMMC_MH_CACHE")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # keep ASYNC cpu dispatch — sync dispatch deadlocks multi-device
+    # collectives (capacity-1 inflight semaphore vs blocking rendezvous,
+    # see tests/conftest.py point 1)
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if nproc > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=nproc, process_id=proc_id)
+                                   num_processes=nproc, process_id=proc_id,
+                                   initialization_timeout=600)
     assert jax.process_count() == nproc
     assert jax.device_count() == 8, jax.device_count()
 
@@ -119,9 +126,23 @@ def main():
             json.dump({"losses": losses, "gnorms": gnorms,
                        "fingerprint": fp,
                        "process_count": int(jax.process_count())}, f)
-    # all processes exit cleanly so the coordinator shuts down
     if nproc > 1:
-        jax.distributed.shutdown()
+        # on a 1-core host the two children serialize, so one can reach
+        # shutdown minutes before the other and trip the coordination
+        # service's shutdown barrier deadline — sync on a real collective
+        # first so both arrive together, and treat shutdown-teardown
+        # noise as non-fatal (the numerical results are already on disk)
+        try:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("hmmc-mh-done")
+        except Exception as e:
+            print(f"pre-shutdown sync failed: {e}", file=sys.stderr)
+        try:
+            jax.distributed.shutdown()
+        except Exception as e:
+            print(f"shutdown noise: {e}", file=sys.stderr)
+        os._exit(0)
 
 
 if __name__ == "__main__":

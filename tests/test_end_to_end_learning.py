@@ -89,6 +89,14 @@ def test_overfit_drives_r1_to_100():
     dev_batch = shard_batch(mesh, dict(batch))
     for _ in range(60):
         state, m = step(state, dev_batch)
+        # Fetch one scalar per step (what runner.py's logging does too).
+        # This bounds async dispatch to ONE in-flight step: free-running
+        # 60 steps saturates XLA:CPU's per-device inflight semaphore
+        # (capacity 32) while the collective rendezvous needs all 8
+        # virtual devices running concurrently — the 1-core stall behind
+        # every observed suite abort (ptrace stack evidence in
+        # docs/design.md). Real TPUs are unaffected.
+        float(m["loss"])
 
     var = {"params": state.params}
     q = model.apply(var, batch["query_ids"], batch["query_mask"],

@@ -232,6 +232,7 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
 
     g = geom
     PAD, CLS, MASKID = g["pad"], g["cls"], g["mask"]
+    ftag = tag.replace("/", "-")  # tags appear in file names
 
     arch = ClipArch(
         embed_dim=g["emb"], image_resolution=g["res"],
@@ -261,7 +262,7 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
     queues = MoCoQueues.create(jax.random.PRNGKey(7), g["emb"], g["K"],
                                g["frames"])
     state = PretrainState.create(variables, tx, queues)
-    before = os.path.join(tmp, f"pretrain_before_{tag}.bin")
+    before = os.path.join(tmp, f"pretrain_before_{ftag}.bin")
     save_reference_checkpoint(before, state.params, language="english",
                               pretrain_state=state)
     sd_before = torch.load(before, map_location="cpu", weights_only=True)
@@ -277,11 +278,11 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
             if kk != "logit_scale" and "chinese" not in kk:
                 clip_sd[kk] = v
     clip_sd["logit_scale"] = sd_before["text_encoder.logit_scale"]
-    clip_path = os.path.join(tmp, f"PretrainCLIP_{tag}.pt")
+    clip_path = os.path.join(tmp, f"PretrainCLIP_{ftag}.pt")
     torch.save(clip_sd, clip_path)
 
     # ---- reference model
-    hf_dir = _make_hf_config_dir(tmp, f"hf_en_{tag}")
+    hf_dir = _make_hf_config_dir(tmp, f"hf_en_{ftag}")
     task_ns = types.SimpleNamespace(
         local_rank=0, rank=0, use_temp=True, language="english",
         pretrained_text=hf_dir, top_frames=1, contrast_momentum=0.99,
@@ -430,7 +431,7 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
     check(f"{tag} total loss", float(metrics["loss"]), total, tol)
 
     # ---- post-step state: EMA'd keys, queues+ptr, BN running stats
-    after = os.path.join(tmp, f"pretrain_after_{tag}.bin")
+    after = os.path.join(tmp, f"pretrain_after_{ftag}.bin")
     save_reference_checkpoint(after, new_state.params, language="english",
                               pretrain_state=new_state)
     sd_after = torch.load(after, map_location="cpu", weights_only=True)
