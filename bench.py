@@ -257,9 +257,13 @@ def main():
 
     # secondary gate number: the MoCo pretrain step (VERDICT r2 #6 — the
     # path with 2x towers + BN projectors). Failure degrades gracefully.
+    # Batch 16 measured fastest on the 16GB v5e: 165.8 clips/s (MFU .393)
+    # vs 145.3 @8 / 159.4 @12 / 153.6 @24 — the ~19%-of-step fixed cost
+    # (BertAdam, EMA, queue ops: profiled per-phase in docs/design.md)
+    # amortizes with batch until activations crowd HBM past 16.
     pre_clips = pre_mfu = None
     try:
-        pre_clips, pre_mfu = run_pretrain(8)
+        pre_clips, pre_mfu = run_pretrain(16)
         pre_clips = round(pre_clips / n_chips, 2)
         pre_mfu = round(pre_mfu, 4) if pre_mfu is not None else None
     except Exception as e:

@@ -43,7 +43,26 @@ def _child_env():
     return env
 
 
-def _run(nproc, tmp_path, tag):
+def _run(nproc, tmp_path, tag, attempts=2):
+    """Gloo's KV-store connect timeout is a hard-coded 30 s inside XLA:CPU
+    (not configurable from Python); on a loaded 1-core host a child can
+    miss that window during rendezvous. That failure mode is transient and
+    self-identifying ("Gloo context initialization failed ...
+    DEADLINE_EXCEEDED"), so retry once with a fresh port before failing."""
+    last = None
+    for attempt in range(attempts):
+        try:
+            return _run_once(nproc, tmp_path, f"{tag}{attempt}")
+        except AssertionError as e:
+            last = e
+            transient = ("DEADLINE_EXCEEDED" in str(e)
+                         or "Gloo context initialization failed" in str(e))
+            if not transient or attempt == attempts - 1:
+                raise
+    raise last
+
+
+def _run_once(nproc, tmp_path, tag):
     coord = f"127.0.0.1:{_free_port()}"
     local_devices = 8 // nproc
     outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(nproc)]
