@@ -134,7 +134,7 @@ def build_pretrain(batch_size: int, num_negative: int = 1024):
                          coef_lr=1e-3, weight_decay=0.2,
                          warmup_proportion=0.1, t_total=3600)
     queues = MoCoQueues.create(jax.random.PRNGKey(1),
-                               cross.temporal_hidden_size, num_negative, f)
+                               arch.embed_dim, num_negative, f)
     state = PretrainState.create(variables, tx, queues)
     step = make_pretrain_step(model, tx, cross, task, mask_token_id=49394,
                               pad_token_id=49407, cls_token_id=49406)

@@ -107,14 +107,12 @@ class Evaluator:
         self.text_block = text_block
         self.video_block = video_block
 
-        def encode_text(params, ids, mask):
-            return model.apply({"params": params}, ids, mask,
-                               method="encode_text")
+        def encode_text(variables, ids, mask):
+            return model.apply(variables, ids, mask, method="encode_text")
 
-        def encode_video(params, video_u8):
+        def encode_video(variables, video_u8):
             video = image_ops.normalize(image_ops.to_float(video_u8))
-            return model.apply({"params": params}, video,
-                               method="encode_video")
+            return model.apply(variables, video, method="encode_video")
 
         self._encode_text = jax.jit(encode_text)
         self._encode_video = jax.jit(encode_video)
@@ -136,17 +134,20 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
-    def cache_features(self, params, loader, dataset):
+    def cache_features(self, params, loader, dataset, batch_stats=None):
         multi = bool(getattr(dataset, "multi_sentence_per_video", False))
         cut_off = ([c - 1 for c in dataset.cut_off_points] if multi else [])
         is_vt = self.task.task == "retrieval_VT"
 
+        var = {"params": params}
+        if batch_stats:  # ResNet towers: frozen BN running stats at eval
+            var["batch_stats"] = batch_stats
         q_enc = _BlockedEncoder(
-            lambda i, m: self._encode_text(params, i, m), self.text_block)
+            lambda i, m: self._encode_text(var, i, m), self.text_block)
         t_enc = _BlockedEncoder(
-            lambda i, m: self._encode_text(params, i, m), self.text_block)
+            lambda i, m: self._encode_text(var, i, m), self.text_block)
         v_enc = _BlockedEncoder(
-            lambda v: self._encode_video(params, v), self.video_block)
+            lambda v: self._encode_video(var, v), self.video_block)
 
         total_video = 0
         for batch in loader:
@@ -207,9 +208,10 @@ class Evaluator:
         return sim
 
     def run(self, params, loader, dataset,
-            log: Optional[logging.Logger] = None) -> Dict[str, float]:
-        q, v, f, t, multi, cut_off = self.cache_features(params, loader,
-                                                         dataset)
+            log: Optional[logging.Logger] = None,
+            batch_stats=None) -> Dict[str, float]:
+        q, v, f, t, multi, cut_off = self.cache_features(
+            params, loader, dataset, batch_stats)
         logger.info("eval features: %d queries, %d videos", len(q), len(v))
         sim = self.similarity(params, q, v, f, t)
         return logging_rank(sim, multi, cut_off, log or logger)

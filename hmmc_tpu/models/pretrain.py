@@ -65,7 +65,10 @@ class BirdPretrainModel(nn.Module):
 
     def setup(self):
         cc = self.cross_config
-        h = cc.temporal_hidden_size
+        # Feature width of every tower output (modeling.py hard-codes 512
+        # in its MLP heads, which equals embed_dim only for the ViT-B
+        # towers; deriving it from the arch keeps RN50/L14 working).
+        h = self.arch.embed_dim
         self.text_encoder = TextEncoder(
             self.arch, cc, language=self.language, dtype=self.dtype,
             param_dtype=self.param_dtype, use_pallas=self.use_pallas,

@@ -65,9 +65,10 @@ class BirdModel(nn.Module):
                                  return_hidden=return_hidden)
 
     def encode_video(self, video: jnp.ndarray,
-                     frame_mask: Optional[jnp.ndarray] = None
+                     frame_mask: Optional[jnp.ndarray] = None,
+                     train: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.visual_encoder(video, frame_mask)
+        return self.visual_encoder(video, frame_mask, train)
 
     def logit_scale(self) -> jnp.ndarray:
         """exp(logit_scale) clamped to 100, non-trainable

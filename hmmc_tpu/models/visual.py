@@ -46,9 +46,13 @@ class VisualEncoder(nn.Module):
         self,
         video: jnp.ndarray,
         frame_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """video: [B, F, H, W, 3]. Returns (video_feature [B, D] fp32,
-        frame_features [B, F, D] fp32)."""
+        frame_features [B, F, D] fp32). ``train`` only affects the
+        ResNet towers' BatchNorm mode (batch stats + running-stat
+        updates vs frozen running averages); the ViT towers have no
+        train-time stochasticity."""
         b, f, h, w, c = video.shape
         cc = self.cross_config
 
@@ -61,7 +65,7 @@ class VisualEncoder(nn.Module):
                 input_resolution=self.arch.image_resolution,
                 width=self.arch.vision_width, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="visual")
-            per_frame = tower(video.reshape(b * f, h, w, c)).astype(
+            per_frame = tower(video.reshape(b * f, h, w, c), train).astype(
                 jnp.float32)
         else:
             vit = VisionTransformer(
@@ -75,10 +79,16 @@ class VisualEncoder(nn.Module):
         frame_output = hidden
 
         if self.use_temp:
+            # Sized from the tower's actual output width. The reference
+            # hard-codes temporal_hidden_size (=512) here, which only
+            # works because its default ViT-B towers have embed_dim 512 —
+            # at RN50 (1024) or ViT-L/14 (768) its add at
+            # module_cross.py:198 throws. Same layout at flagship,
+            # working temporal path for every tower (knowing fix).
             frame_position_embeddings = self.param(
                 "frame_position_embeddings",
                 nn.initializers.normal(0.02),
-                (cc.max_position_embeddings, cc.temporal_hidden_size),
+                (cc.max_position_embeddings, hidden.shape[-1]),
                 self.param_dtype)
             x = hidden + frame_position_embeddings[:f].astype(hidden.dtype)
             if frame_mask is not None:

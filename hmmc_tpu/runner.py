@@ -116,7 +116,8 @@ def run_eval(args, log=None) -> Dict[str, float]:
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
     ev = Evaluator(model, task, weight_title=cross.weight_title)
-    metrics = ev.run(variables["params"], loader, dataset, log)
+    metrics = ev.run(variables["params"], loader, dataset, log,
+                     batch_stats=variables.get("batch_stats"))
     return metrics
 
 
@@ -175,7 +176,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size))
     if task.tp_size > 1:
         params = shard_params(mesh, params)
-    state = FinetuneState.create(params, tx)
+    state = FinetuneState.create(params, tx,
+                                 batch_stats=variables.get("batch_stats"))
     if task.task == "retrieval_VT":
         step_fn = make_finetune_vt_step(
             model, tx, cross, n_accum=task.gradient_accumulation_steps)
@@ -252,8 +254,10 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             orbax_io.save_reference_checkpoint(
                 os.path.join(task.output_dir,
                              f"pytorch_model.bin.{epoch}"),
-                state.params, language=task.language)
-        metrics = evaluator.run(state.params, eval_loader, eval_dataset, log)
+                state.params, language=task.language,
+                batch_stats=state.batch_stats)
+        metrics = evaluator.run(state.params, eval_loader, eval_dataset, log,
+                                batch_stats=state.batch_stats)
         writer.scalar("R1", metrics["R1"], epoch)
         if metrics["R1"] > best_r1:
             best_r1, best_metrics = metrics["R1"], metrics
@@ -328,7 +332,7 @@ def run_pretrain(args, log=None) -> None:
         coef_lr=task.coef_lr, weight_decay=task.weight_decay,
         warmup_proportion=task.warmup_proportion, t_total=t_total)
     queues = MoCoQueues.create(
-        jax.random.PRNGKey(task.seed), cross.temporal_hidden_size,
+        jax.random.PRNGKey(task.seed), model.arch.embed_dim,
         task.contrast_num_negative, task.max_frames)
     pretrain_import = variables.pop("_pretrain_import", None)
     state = PretrainState.create(variables, tx, queues)
@@ -428,7 +432,8 @@ def run_pretrain(args, log=None) -> None:
             eval_loader, eval_dataset = DATALOADER_DICT[eval_ds_name][
                 "test"](task.replace(dataset=eval_ds_name), tokenizer)
             ev = Evaluator(model, task)
-            metrics = ev.run(state.params, eval_loader, eval_dataset, log)
+            metrics = ev.run(state.params, eval_loader, eval_dataset, log,
+                             batch_stats=state.batch_stats)
             writer.scalar("R1", metrics["R1"], epoch)
         except FileNotFoundError as e:
             log.info("skipping pretrain eval (%s data not found: %s)",
@@ -464,7 +469,8 @@ def run_extract(args, log=None) -> str:
         clip_model_path=args.clip_model, init_model_path=task.init_model)
     ev = Evaluator(model, task, weight_title=cross.weight_title)
     q, v, f, t, multi, cut_off = ev.cache_features(
-        variables["params"], loader, dataset)
+        variables["params"], loader, dataset,
+        batch_stats=variables.get("batch_stats"))
     scale = float(jnp.minimum(jnp.exp(
         variables["params"]["text_encoder"]["logit_scale"]), 100.0))
     out = os.path.join(task.output_dir or ".", "features.npz")

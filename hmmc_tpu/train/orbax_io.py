@@ -110,11 +110,19 @@ def _export_text_tower(te: Any, sd: dict, prefix: str,
         sd[f"{prefix}text_proj.bias"] = np.asarray(te["text_proj"]["bias"])
 
 
-def _export_visual_tower(ve: Any, sd: dict, prefix: str) -> None:
+def _export_visual_tower(ve: Any, sd: dict, prefix: str,
+                         batch_stats: Any = None) -> None:
     from hmmc_tpu.train.checkpoint import (_export_resblocks,
+                                           export_clip_resnet,
                                            export_clip_visual)
 
-    export_clip_visual(ve["visual"], sd, prefix=f"{prefix}visual.")
+    if "attnpool" in ve["visual"]:  # ModifiedResNet tower
+        stats = (batch_stats or {}).get("visual_encoder", {}).get(
+            "visual", {})
+        export_clip_resnet(ve["visual"], stats, sd,
+                           prefix=f"{prefix}visual.")
+    else:
+        export_clip_visual(ve["visual"], sd, prefix=f"{prefix}visual.")
     if "frame_position_embeddings" in ve:
         sd[f"{prefix}frame_position_embeddings.weight"] = (
             ve["frame_position_embeddings"])
@@ -126,7 +134,8 @@ def _export_visual_tower(ve: Any, sd: dict, prefix: str) -> None:
 
 def save_reference_checkpoint(path: str, params: Any,
                               language: str = "english",
-                              pretrain_state: Any = None) -> None:
+                              pretrain_state: Any = None,
+                              batch_stats: Any = None) -> None:
     """Write a torch state dict in the reference's naming so checkpoints
     flow back to the PyTorch implementation (inverse of
     checkpoint.import_hmmc_state_dict).
@@ -142,17 +151,25 @@ def save_reference_checkpoint(path: str, params: Any,
     from hmmc_tpu.train.checkpoint import export_mlm_head, export_mlp
 
     params = jax.tree_util.tree_map(np.asarray, params)
+    if pretrain_state is not None and batch_stats is None:
+        batch_stats = pretrain_state.batch_stats
+    if batch_stats:
+        batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
     sd: dict = {}
     _export_text_tower(params["text_encoder"], sd, "text_encoder.",
                        language)
-    _export_visual_tower(params["visual_encoder"], sd, "visual_encoder.")
+    _export_visual_tower(params["visual_encoder"], sd, "visual_encoder.",
+                         batch_stats)
 
     if pretrain_state is not None:
         st = jax.tree_util.tree_map(np.asarray, pretrain_state)
         pk = st.params_k
         _export_text_tower(pk["text_encoder"], sd, "text_encoder_k.",
                            language)
-        _export_visual_tower(pk["visual_encoder"], sd, "visual_encoder_k.")
+        # key visual BN stats (RN towers) are the shared frozen query-side
+        # copy — see trainer.key_forwards
+        _export_visual_tower(pk["visual_encoder"], sd, "visual_encoder_k.",
+                             batch_stats)
         for tower, tree, stats in (
                 ("t_projector", params.get("t_projector"),
                  st.batch_stats.get("t_projector")),

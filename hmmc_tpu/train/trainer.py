@@ -41,11 +41,17 @@ class FinetuneState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # ResNet towers only: BatchNorm running stats (empty for the ViTs —
+    # torch keeps these inside its BN modules; functionally they are
+    # train-step state exactly like the optimizer moments)
+    batch_stats: Any = None
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation):
+    def create(cls, params, tx: optax.GradientTransformation,
+               batch_stats: Any = None):
         return cls(params=params, opt_state=tx.init(params),
-                   step=jnp.zeros((), jnp.int32))
+                   step=jnp.zeros((), jnp.int32),
+                   batch_stats={} if batch_stats is None else batch_stats)
 
 
 @flax.struct.dataclass
@@ -134,36 +140,91 @@ def make_finetune_step(
 
     w_vtm = cross_config.weight_VTM_finetune
     w_ftm = cross_config.weight_FTM_finetune
+    has_bn = bool(getattr(model.arch, "is_resnet", False))
 
-    def loss_fn(params, batch):
-        var = {"params": params}
-        q = model.apply(var, batch["query_ids"], batch["query_mask"],
-                        method="encode_text")
-        fmask = None
+    def _fmask(batch):
         if use_frame_mask and "nframes" in batch:
             n_f = batch["video"].shape[1]
-            fmask = (jnp.arange(n_f)[None, :]
-                     < batch["nframes"][:, None]).astype(jnp.int32)
-        v, f = model.apply(var, batch["video"], fmask,
-                           method="encode_video")
+            return (jnp.arange(n_f)[None, :]
+                    < batch["nframes"][:, None]).astype(jnp.int32)
+        return None
+
+    def _compose(params, q, v, f):
         scale = jnp.minimum(
             jnp.exp(jax.lax.stop_gradient(
                 params["text_encoder"]["logit_scale"])), 100.0)
-        out = losses.finetune_retrieval_loss(
+        return losses.finetune_retrieval_loss(
             q, v, f if use_frame_fea else None, scale, w_vtm, w_ftm)
-        return out["loss"], out
 
-    def step(state: FinetuneState, batch: Dict) -> Tuple[FinetuneState, Dict]:
-        grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
+    if not has_bn:
+        def loss_fn(params, batch):
+            var = {"params": params}
+            q = model.apply(var, batch["query_ids"], batch["query_mask"],
+                            method="encode_text")
+            v, f = model.apply(var, batch["video"], _fmask(batch),
+                               method="encode_video")
+            out = _compose(params, q, v, f)
+            return out["loss"], out
+
+        def step(state: FinetuneState, batch: Dict
+                 ) -> Tuple[FinetuneState, Dict]:
+            grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1)
+            metrics = {k: v for k, v in aux.items()}
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=0)
+
+    # --- ResNet towers: BatchNorm batch stats are per-step state (torch
+    # updates them inside the module; here they ride FinetuneState and
+    # evolve across micro-batches like the MoCo queues do in pretrain) ---
+    def loss_fn_bn(params, bstats, batch):
+        var = {"params": params, "batch_stats": bstats}
+        q = model.apply(var, batch["query_ids"], batch["query_mask"],
+                        method="encode_text")
+        (v, f), mut = model.apply(
+            var, batch["video"], _fmask(batch), True,
+            method="encode_video", mutable=["batch_stats"])
+        out = _compose(params, q, v, f)
+        return out["loss"], (out, mut["batch_stats"])
+
+    def step_bn(state: FinetuneState, batch: Dict
+                ) -> Tuple[FinetuneState, Dict]:
+        if n_accum == 1:
+            grads, (aux, bstats) = jax.grad(loss_fn_bn, has_aux=True)(
+                state.params, state.batch_stats, batch)
+        else:
+            micro = _split_microbatches(batch, n_accum)
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32),
+                state.params)
+
+            def body(carry, mb):
+                bs, gacc = carry
+                grads, (aux, bs) = jax.grad(loss_fn_bn, has_aux=True)(
+                    state.params, bs, mb)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                return (bs, gacc), aux
+
+            (bstats, grads), auxes = jax.lax.scan(
+                body, (state.batch_stats, zero), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+            aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1)
+            params=params, opt_state=opt_state, batch_stats=bstats,
+            step=state.step + 1)
         metrics = {k: v for k, v in aux.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=0)
+    return jax.jit(step_bn, donate_argnums=0)
 
 
 def make_finetune_vt_step(
@@ -180,15 +241,19 @@ def make_finetune_vt_step(
 
     batch keys: query_ids/query_mask, title_ids/title_mask, video."""
     w_title = cross_config.weight_title
+    has_bn = bool(getattr(model.arch, "is_resnet", False))
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, bstats=None):
         var = {"params": params}
+        if has_bn:
+            var["batch_stats"] = bstats
         q = model.apply(var, batch["query_ids"], batch["query_mask"],
                         method="encode_text")
         t = model.apply(var, batch["title_ids"], batch["title_mask"],
                         method="encode_text")
         # the video tower still runs (its params stay trained/aligned with
-        # checkpoints even though the active loss is text-text)
+        # checkpoints even though the active loss is text-text); ResNet
+        # BN stays frozen — the video output never enters the VT loss
         v, _f = model.apply(var, batch["video"], method="encode_video")
         del v
         scale = jnp.minimum(
@@ -201,7 +266,10 @@ def make_finetune_vt_step(
         return loss, {"loss": loss, "sim_loss_title": sim_loss_title}
 
     def step(state: FinetuneState, batch: Dict) -> Tuple[FinetuneState, Dict]:
-        grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
+        def lf(p, b):
+            return loss_fn(p, b, state.batch_stats)
+
+        grads, aux = _accumulate(lf, state.params, batch, n_accum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (state.replace(params=params, opt_state=opt_state,
@@ -246,8 +314,11 @@ def make_pretrain_step(
     momentum = task.contrast_momentum
     w = cross_config
 
-    def key_forwards(params_k, stats_k, batch):
-        """Momentum towers, mutable BN stats on the key projector."""
+    def key_forwards(params_k, stats_k, batch, visual_stats):
+        """Momentum towers, mutable BN stats on the key projector.
+        ``visual_stats``: ResNet towers' BN running stats ({} for ViTs) —
+        frozen in pretrain (query side never updates them either), so the
+        key tower reads the shared query-side copy."""
         title_k = model.apply(
             {"params": {"text_encoder": params_k["text_encoder"]}},
             batch["title_ids"], batch["title_mask"], method="encode_text")
@@ -256,9 +327,12 @@ def make_pretrain_step(
             tag_k = model.apply(
                 {"params": {"text_encoder": params_k["text_encoder"]}},
                 batch["tag_ids"], batch["tag_mask"], method="encode_text")
+        visual_var = {"params": {"visual_encoder": params_k["visual_encoder"]}}
+        if "visual_encoder" in visual_stats:
+            visual_var["batch_stats"] = {
+                "visual_encoder": visual_stats["visual_encoder"]}
         v_k, frame_k = model.apply(
-            {"params": {"visual_encoder": params_k["visual_encoder"]}},
-            batch["video"], method="encode_video")
+            visual_var, batch["video"], method="encode_video")
         (frame_proj_k), new_stats = model.apply(
             {"params": {"v_projector": params_k["v_projector"]},
              "batch_stats": {"v_projector": stats_k["v_projector"]}},
@@ -345,7 +419,7 @@ def make_pretrain_step(
         BEFORE key forwards (modeling.py:368-372), grads vs the CURRENT
         queue snapshot, then enqueue (modeling.py:412)."""
         params_k = momentum_update(params, params_k, momentum)
-        keys, stats_k = key_forwards(params_k, stats_k, mb)
+        keys, stats_k = key_forwards(params_k, stats_k, mb, batch_stats)
 
         def wrapped(p, b, r):
             return loss_fn(p, b, r, keys, queues, batch_stats)

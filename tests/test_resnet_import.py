@@ -189,3 +189,81 @@ def test_build_model_with_rn_checkpoint(tmp_path):
         method="encode_video")
     assert v.shape == (1, EMB) and f.shape == (1, 2, EMB)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_rn_finetune_step_eval_and_export(tmp_path):
+    """RN towers TRAIN end-to-end: the finetune step threads BatchNorm
+    batch stats (torch updates them inside its modules — here they ride
+    FinetuneState), the evaluator reads the frozen running stats, and the
+    reference export carries the UPDATED running stats back out. The
+    reference itself cannot run this config at all (its 512-wide frame
+    position embeddings break on RN50's 1024-dim features,
+    module_cross.py:198)."""
+    torch = pytest.importorskip("torch")
+
+    from hmmc_tpu import factory
+    from hmmc_tpu.config import CrossConfig, TaskConfig
+    from hmmc_tpu.evaluation import Evaluator
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+    from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
+
+    sd = _rn_clip_sd()
+    path = str(tmp_path / "RN-tiny.pt")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               path)
+    cross_json = tmp_path / "cross.json"
+    cross_json.write_text(json.dumps({
+        "pretrained_clip_name": "RN50", "temporal_hidden_size": EMB,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 1,
+        "max_position_embeddings": 8}))
+    task = TaskConfig(do_train=True, language="english",
+                      cross_model=str(cross_json), max_words=CTX,
+                      max_frames=2, compute_dtype="float32")
+    cross = CrossConfig.from_json(str(cross_json))
+    model, variables = factory.build_model(
+        task, cross, vocab_size=VOCAB, clip_model_path=path)
+
+    params = variables["params"]
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1,
+                         t_total=20)
+    state = FinetuneState.create(params, tx, variables["batch_stats"])
+    step = make_finetune_step(model, tx, cross, use_frame_fea=True)
+
+    g = np.random.default_rng(3)
+    b = 4
+    ids = g.integers(2, VOCAB, size=(b, CTX)).astype(np.int32)
+    ids[:, -1] = VOCAB - 1
+    batch = {
+        "query_ids": jnp.asarray(ids),
+        "query_mask": jnp.ones((b, CTX), jnp.int32),
+        "video": jnp.asarray(g.normal(size=(b, 2, RES, RES, 3))
+                             .astype(np.float32)),
+    }
+    mean0 = np.asarray(
+        state.batch_stats["visual_encoder"]["visual"]["bn1"]["mean"])
+    state, m0 = step(state, batch)
+    state, m1 = step(state, batch)
+    assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+    mean2 = np.asarray(
+        state.batch_stats["visual_encoder"]["visual"]["bn1"]["mean"])
+    assert not np.allclose(mean0, mean2)  # train-mode BN updated stats
+
+    # evaluator path reads the running stats (frozen)
+    ev = Evaluator(model, task)
+    video_u8 = g.integers(0, 255, size=(2, 2, RES, RES, 3)).astype(np.uint8)
+    v, f = ev._encode_video(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(video_u8))
+    assert v.shape == (2, EMB)
+    assert np.isfinite(np.asarray(v)).all()
+
+    # reference-format export carries the UPDATED running stats
+    out_pt = str(tmp_path / "export.bin")
+    save_reference_checkpoint(out_pt, state.params, language="english",
+                              batch_stats=state.batch_stats)
+    sd2 = {k: v.numpy() for k, v in torch.load(
+        out_pt, map_location="cpu", weights_only=True).items()}
+    np.testing.assert_allclose(
+        sd2["visual_encoder.visual.bn1.running_mean"], mean2, atol=1e-6)

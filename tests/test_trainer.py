@@ -333,3 +333,55 @@ def test_pretrain_reference_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.queues.title_cross),
         np.asarray(state.queues.title_cross), atol=1e-6)
     assert int(restored.queues.ptr) == int(state.queues.ptr)
+
+
+def test_steps_run_when_embed_dim_differs_from_temporal_hidden():
+    """Towers whose embed_dim != temporal_hidden_size (RN50: 1024,
+    ViT-L/14: 768, vs the config constant 512) must still train. The
+    reference crashes there (module_cross.py:198 adds 512-wide frame
+    position embeddings onto the tower output); here every
+    feature-width consumer (frame pos-emb, projector MLPs, queues)
+    derives from arch.embed_dim."""
+    wide = ClipArch(
+        embed_dim=48, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=16, vocab_size=256,
+        transformer_width=32, transformer_heads=2, transformer_layers=2)
+    rng = np.random.default_rng(5)
+    b = 8
+    qids, qmask = _text_batch(rng, b, L)
+    video = rng.normal(size=(b, F, 32, 32, 3)).astype(np.float32)
+    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
+             "video": jnp.asarray(video)}
+    model = BirdModel(wide, TINY_CROSS)
+    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
+                        batch["query_mask"], batch["video"])["params"]
+    pe = params["visual_encoder"]["frame_position_embeddings"]
+    assert pe.shape[-1] == 48  # sized from the tower, not the config
+    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
+                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, TINY_CROSS, use_frame_fea=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    task = TaskConfig(do_pretrain=True, dataset="msrvtt",
+                      contrast_num_negative=32, max_frames=F,
+                      contrast_temperature=0.07, contrast_momentum=0.9)
+    pmodel = BirdPretrainModel(wide, TINY_CROSS, vocab_size=256)
+    variables = pmodel.init(
+        jax.random.PRNGKey(0), batch["query_ids"], batch["query_mask"],
+        batch["video"])
+    ptx = build_optimizer(variables["params"], lr=1e-3, text_lr=1e-4,
+                          coef_lr=1.0, weight_decay=0.2,
+                          warmup_proportion=0.1, t_total=50)
+    queues = MoCoQueues.create(jax.random.PRNGKey(1), wide.embed_dim,
+                               task.contrast_num_negative, F)
+    pstate = PretrainState.create(variables, ptx, queues)
+    pstep = make_pretrain_step(
+        pmodel, ptx, TINY_CROSS, task, mask_token_id=254, pad_token_id=255,
+        cls_token_id=1)
+    pbatch = {"title_ids": batch["query_ids"],
+              "title_mask": batch["query_mask"], "video": batch["video"]}
+    pstate, pm = pstep(pstate, pbatch, jax.random.PRNGKey(3))
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        assert np.isfinite(float(pm[k])), k
