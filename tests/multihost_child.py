@@ -6,9 +6,11 @@ every global batch (BatchLoader process sharding, the DistributedSampler
 semantics of dataloaders/dataloader.py:14); `shard_batch` assembles the
 global jax.Array via jax.make_array_from_process_local_data and the jitted
 fine-tune step runs over the dp mesh — the full --multihost path
-(runner.py) minus the real DCN fabric. The single-process invocation
-(nproc=1, 8 local devices) produces the ground truth the 2-process run
-must reproduce exactly.
+(runner.py) minus the real DCN fabric. A second phase runs two MoCo
+pretrain steps to prove queue/ptr/EMA consistency across process counts
+(the dist_collect-before-enqueue contract of modeling.py:244-284). The
+single-process invocation (nproc=1, 8 local devices) produces the ground
+truth the 2-process run must reproduce exactly.
 
 argv: proc_id nproc coordinator local_devices out_json
 """
@@ -121,10 +123,58 @@ def main():
         float(jnp.sum(jnp.abs(x.astype(jnp.float64))))
         for x in jax.tree_util.tree_leaves(state.params)))
 
+    # ---- pretrain phase: MoCo queue consistency across processes ----
+    # The reference gathers keys with dist_collect before enqueueing so
+    # every rank holds identical queues (modeling.py:244-284), and its
+    # ptr arithmetic assumes a deterministic global enqueue order. Here
+    # the enqueue is a dynamic_update_slice on the globally-sharded key
+    # array inside ONE jitted step, so the order is fixed by the global
+    # array layout — this run proves queues, ptr and losses are
+    # process-count invariant by execution.
+    from hmmc_tpu.config import TaskConfig
+    from hmmc_tpu.models.pretrain import BirdPretrainModel, MoCoQueues
+    from hmmc_tpu.train.trainer import PretrainState, make_pretrain_step
+
+    task = TaskConfig(do_pretrain=True, dataset="msrvtt",
+                      contrast_num_negative=32, max_frames=F,
+                      contrast_temperature=0.07, contrast_momentum=0.9)
+    pmodel = BirdPretrainModel(arch, cross, vocab_size=VOCAB)
+    variables = pmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CTX), jnp.int32),
+        jnp.ones((1, CTX), jnp.int32),
+        jnp.zeros((1, F, RES, RES, 3), jnp.float32))
+    ptx = build_optimizer(variables["params"], lr=1e-3, text_lr=1e-4,
+                          coef_lr=1.0, weight_decay=0.01,
+                          warmup_proportion=0.1, t_total=4)
+    queues = MoCoQueues.create(jax.random.PRNGKey(1), arch.embed_dim,
+                               task.contrast_num_negative, F)
+    pstate = PretrainState.create(variables, ptx, queues)
+    pstep = make_pretrain_step(pmodel, ptx, cross, task, mask_token_id=62,
+                               pad_token_id=0, cls_token_id=1)
+    loader.set_epoch(1)
+    plosses = []
+    for k, batch in enumerate(loader):
+        dev = shard_batch(mesh, {"title_ids": batch["query_ids"],
+                                 "title_mask": batch["query_mask"],
+                                 "video": batch["video"]})
+        pstate, pm = pstep(pstate, dev, jax.random.PRNGKey(100 + k))
+        plosses.append(float(pm["loss"]))
+    queue_fp = float(sum(
+        float(jnp.sum(jnp.abs(x.astype(jnp.float64))))
+        for x in jax.tree_util.tree_leaves(pstate.queues)
+        if x.dtype != jnp.int32))  # ptr compared exactly, separately
+    key_fp = float(sum(
+        float(jnp.sum(jnp.abs(x.astype(jnp.float64))))
+        for x in jax.tree_util.tree_leaves(pstate.params_k)))
+
     if jax.process_index() == 0:
         with open(out_path, "w") as f:
             json.dump({"losses": losses, "gnorms": gnorms,
                        "fingerprint": fp,
+                       "pretrain_losses": plosses,
+                       "queue_fingerprint": queue_fp,
+                       "queue_ptr": int(pstate.queues.ptr),
+                       "key_fingerprint": key_fp,
                        "process_count": int(jax.process_count())}, f)
     if nproc > 1:
         # on a 1-core host the two children serialize, so one can reach

@@ -115,3 +115,16 @@ def test_two_process_distributed_matches_single_process(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(multi["fingerprint"], single["fingerprint"],
                                rtol=1e-7)
+    # MoCo pretrain: queue contents, enqueue pointer, EMA key towers and
+    # losses must be process-count invariant (the reference guarantees
+    # this via dist_collect-before-enqueue, modeling.py:244-284; here the
+    # enqueue order is fixed by the global array layout inside one jit)
+    assert len(multi["pretrain_losses"]) == len(
+        single["pretrain_losses"]) == 2
+    np.testing.assert_allclose(multi["pretrain_losses"],
+                               single["pretrain_losses"], rtol=0, atol=1e-5)
+    assert multi["queue_ptr"] == single["queue_ptr"]
+    np.testing.assert_allclose(multi["queue_fingerprint"],
+                               single["queue_fingerprint"], rtol=1e-7)
+    np.testing.assert_allclose(multi["key_fingerprint"],
+                               single["key_fingerprint"], rtol=1e-7)
