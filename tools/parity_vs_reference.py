@@ -465,6 +465,97 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
         check(f"{tag} {name}", d, 0.0, tol)
 
 
+def check_resnet_tower(mcross, tmp, check):
+    """Execute the reference's ModifiedResNet + AttentionPool2d visual
+    encoder (module_clip.py:68-214 via module_cross.py:152-237) with OUR
+    exported RN weights and compare encode_video in both BN modes.
+
+    Tiny RN geometry with embed_dim == temporal_hidden_size, so the
+    reference's frame-position-embedding add (module_cross.py:198) lines
+    up — at real RN50 (embed 1024) the shipped cross-base config (512)
+    makes that add throw, which is why the reference never trains RN."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.config import ClipArch, CrossConfig
+    from hmmc_tpu.models.retrieval import BirdModel
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+
+    EMB, RES, W, CTX, VOCAB, TW, F, B = 48, 64, 16, 12, 128, 64, 3, 4
+    arch = ClipArch(
+        embed_dim=EMB, image_resolution=RES, vision_layers=(1, 1, 1, 1),
+        vision_width=W, vision_patch_size=0, context_length=CTX,
+        vocab_size=VOCAB, transformer_width=TW, transformer_heads=1,
+        transformer_layers=2)
+    cross = CrossConfig(temporal_hidden_size=EMB,
+                        temporal_attention_heads=2,
+                        temporal_hidden_layers=2,
+                        max_position_embeddings=8)
+    model = BirdModel(arch, cross)
+    variables = model.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, CTX), jnp.int32),
+        jnp.ones((1, CTX), jnp.int32),
+        jnp.zeros((1, F, RES, RES, 3), jnp.float32))
+    params, bstats = variables["params"], variables["batch_stats"]
+    ours_ckpt = os.path.join(tmp, "ours_rn.bin")
+    save_reference_checkpoint(ours_ckpt, params, language="english",
+                              batch_stats=bstats)
+    sd_full = torch.load(ours_ckpt, map_location="cpu", weights_only=True)
+    clip_sd = {}
+    for k, v in sd_full.items():
+        if k.startswith("visual_encoder.visual."):
+            clip_sd[k[len("visual_encoder."):]] = v
+        elif k.startswith("text_encoder.") and "chinese" not in k:
+            kk = k[len("text_encoder."):]
+            if kk != "logit_scale":
+                clip_sd[kk] = v
+    clip_sd["logit_scale"] = sd_full["text_encoder.logit_scale"]
+    clip_path = os.path.join(tmp, "TinyRN.pt")
+    torch.save(clip_sd, clip_path)
+
+    task_ns = types.SimpleNamespace(local_rank=0, rank=0, use_temp=True,
+                                    language="english",
+                                    pretrained_text="unused")
+    cc = mcross.CrossConfig(vocab_size_or_config_json_file=0)
+    for k, v in dict(
+            temporal_hidden_size=EMB, temporal_attention_heads=2,
+            temporal_hidden_layers=2, max_position_embeddings=8,
+            chinese_hidden_size=32,
+            pretrained_clip_name=clip_path).items():
+        setattr(cc, k, v)
+
+    ve = mcross.VisualEncoder(task_ns, cc)
+    ve_sd = {k[len("visual_encoder."):]: v for k, v in sd_full.items()
+             if k.startswith("visual_encoder.")}
+    ve.load_state_dict(ve_sd, strict=True)
+    ve = ve.float().eval()
+
+    rng = np.random.default_rng(9)
+    video = rng.normal(size=(B, F, 3, RES, RES)).astype(np.float32)
+    with torch.no_grad():
+        tv, tf = ve(torch.tensor(video), F)
+    v, f = model.apply({"params": params, "batch_stats": bstats},
+                       jnp.asarray(video.transpose(0, 1, 3, 4, 2)),
+                       method="encode_video")
+    check("RN video feature (eval BN)", np.asarray(v), tv.numpy())
+    check("RN frame features (eval BN)", np.asarray(f), tf.numpy())
+
+    # train mode: both sides normalize by the (biased) batch statistics.
+    # (Running-stat ACCUMULATION differs by the torch-unbiased/flax-biased
+    # variance convention — irrelevant to any reference behavior, since
+    # the reference cannot train RN towers at all.)
+    ve = ve.train()
+    with torch.no_grad():
+        tv2, _ = ve(torch.tensor(video), F)
+    (v2, _f2), _mut = model.apply(
+        {"params": params, "batch_stats": bstats},
+        jnp.asarray(video.transpose(0, 1, 3, 4, 2)), None, True,
+        method="encode_video", mutable=["batch_stats"])
+    check("RN video feature (train BN)", np.asarray(v2), tv2.numpy())
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reference", default="/root/reference")
@@ -590,6 +681,9 @@ def main():
 
     print("[chinese tower through the reference's AutoModel path]")
     _check_chinese(mcross, tmp, check)
+
+    print("[ModifiedResNet tower — reference executed with our weights]")
+    check_resnet_tower(mcross, tmp, check)
 
     print("[losses]")
     sim = rng.normal(size=(14, 14)).astype(np.float32) * 3
