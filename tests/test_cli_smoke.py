@@ -19,14 +19,24 @@ N_VIDEOS = 12
 FRAMES_STORED = 4
 
 
+RN_NAME = "RN-Test"
+
+
 @pytest.fixture(scope="module", autouse=True)
 def tiny_arch():
     config_mod.CLIP_ARCH[TINY_NAME] = dict(
         embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
         vision_patch_size=16, context_length=64, vocab_size=49408,
         transformer_width=32, transformer_heads=2, transformer_layers=2)
+    # tiny ModifiedResNet (attnpool embed = width*32 = 256, grid res//32=1)
+    config_mod.CLIP_ARCH[RN_NAME] = dict(
+        embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1),
+        vision_width=8, vision_patch_size=0, context_length=64,
+        vocab_size=49408, transformer_width=32, transformer_heads=2,
+        transformer_layers=2)
     yield
     config_mod.CLIP_ARCH.pop(TINY_NAME, None)
+    config_mod.CLIP_ARCH.pop(RN_NAME, None)
 
 
 @pytest.fixture(scope="module")
@@ -149,6 +159,38 @@ def test_reference_checkpoint_reimport(data_dir, cross_json, tmp_path):
                   "--init_model", ckpt])
     metrics = run_eval(args)
     assert np.isfinite(metrics["R1"])
+
+
+def test_run_finetune_resnet_tower(data_dir, tmp_path):
+    """The full runner path with a ModifiedResNet tower: BatchNorm batch
+    stats ride FinetuneState inside the jitted step, the evaluator and the
+    reference-format export consume the trained running stats, and
+    --init_model reimports them (metric-equal eval). The reference cannot
+    run ANY RN tower (512-wide config hard-coding, module_cross.py:198)."""
+    from hmmc_tpu.runner import run_eval, run_finetune
+
+    cross = tmp_path / "cross-rn.json"
+    cross.write_text(json.dumps({
+        "pretrained_clip_name": RN_NAME, "temporal_hidden_size": 32,
+        "temporal_attention_heads": 2, "temporal_hidden_layers": 2,
+        "max_position_embeddings": 8}))
+    out = str(tmp_path / "ft_rn")
+    metrics = run_finetune(_args(data_dir, str(cross), out,
+                                 ["--do_train", "--dataset", "msrvtt"]))
+    assert np.isfinite(metrics["R1"])
+    ckpt = os.path.join(out, "pytorch_model.bin.0")
+    assert os.path.isfile(ckpt)
+
+    import torch
+
+    sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+    assert "visual_encoder.visual.bn1.running_mean" in sd
+
+    args = _args(data_dir, str(cross), str(tmp_path / "ev_rn"),
+                 ["--do_eval", "--dataset", "msrvtt",
+                  "--init_model", ckpt])
+    m2 = run_eval(args)
+    assert m2["R1"] == pytest.approx(metrics["R1"])
 
 
 def test_run_pretrain_bird(data_dir, cross_json, tmp_path):
