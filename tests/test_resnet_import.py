@@ -267,3 +267,63 @@ def test_rn_finetune_step_eval_and_export(tmp_path):
         out_pt, map_location="cpu", weights_only=True).items()}
     np.testing.assert_allclose(
         sd2["visual_encoder.visual.bn1.running_mean"], mean2, atol=1e-6)
+
+
+def test_rn_pretrain_step_keeps_visual_bn_frozen():
+    """MoCo pretrain with an RN tower: the step threads the RN BatchNorm
+    running stats through both the query and momentum-key visual forwards
+    and keeps them FROZEN (the reference never pretrains RN either —
+    modeling.py hard-codes 512-dim MLP heads), while the projector MLP
+    BN stats still evolve per micro-batch (modeling.py:788-807)."""
+    from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+    from hmmc_tpu.models.pretrain import BirdPretrainModel, MoCoQueues
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import PretrainState, make_pretrain_step
+
+    F, B = 2, 4
+    arch = ClipArch(
+        embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1),
+        vision_width=8, vision_patch_size=0, context_length=CTX,
+        vocab_size=VOCAB, transformer_width=32, transformer_heads=2,
+        transformer_layers=2)
+    cross = CrossConfig(temporal_hidden_size=32, temporal_attention_heads=2,
+                        temporal_hidden_layers=1, max_position_embeddings=8)
+    task = TaskConfig(do_pretrain=True, dataset="msrvtt",
+                      contrast_num_negative=16, max_frames=F,
+                      contrast_temperature=0.07, contrast_momentum=0.9)
+    model = BirdPretrainModel(arch, cross, vocab_size=VOCAB)
+    g = np.random.default_rng(11)
+    ids = g.integers(2, VOCAB - 2, size=(B, CTX)).astype(np.int32)
+    batch = {
+        "title_ids": jnp.asarray(ids),
+        "title_mask": jnp.ones((B, CTX), jnp.int32),
+        "video": jnp.asarray(
+            g.normal(size=(B, F, 32, 32, 3)).astype(np.float32)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["title_ids"],
+                           batch["title_mask"], batch["video"])
+    tx = build_optimizer(variables["params"], lr=1e-3, text_lr=1e-4,
+                         coef_lr=1.0, weight_decay=0.2,
+                         warmup_proportion=0.1, t_total=20)
+    queues = MoCoQueues.create(jax.random.PRNGKey(1), arch.embed_dim,
+                               task.contrast_num_negative, F)
+    state = PretrainState.create(variables, tx, queues)
+    step = make_pretrain_step(model, tx, cross, task,
+                              mask_token_id=VOCAB - 2,
+                              pad_token_id=VOCAB - 1, cls_token_id=1)
+
+    vis0 = np.asarray(
+        state.batch_stats["visual_encoder"]["visual"]["bn1"]["mean"])
+    proj0 = np.asarray(jax.tree_util.tree_leaves(
+        state.batch_stats["v_projector"])[0])
+    state, m = step(state, batch, jax.random.PRNGKey(3))
+    state, m = step(state, batch, jax.random.PRNGKey(4))
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        assert np.isfinite(float(m[k])), k
+    vis2 = np.asarray(
+        state.batch_stats["visual_encoder"]["visual"]["bn1"]["mean"])
+    proj2 = np.asarray(jax.tree_util.tree_leaves(
+        state.batch_stats["v_projector"])[0])
+    np.testing.assert_array_equal(vis0, vis2)       # frozen RN BN
+    assert not np.allclose(proj0, proj2)            # projector BN evolved
+    assert int(state.queues.ptr) == (2 * B) % task.contrast_num_negative
