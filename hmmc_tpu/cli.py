@@ -35,6 +35,11 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                    help="encode the eval split to features.npz under "
                         "output_dir (offline retrieval / serving; consumed "
                         "by tools/retrieve.py)")
+    p.add_argument("--quantize_bank", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="with --do_extract: store the video-side features "
+                        "int8-quantized (4x smaller bank; MXU s8 ranking "
+                        "path — see hmmc_tpu/ops/quant.py)")
     p.add_argument("--use_frame_fea", action="store_true")
     p.add_argument("--task", type=str, default="retrieval",
                    choices=["retrieval_VT", "retrieval"])

@@ -486,6 +486,10 @@ def run_extract(args, log=None) -> str:
     ids = _dataset_video_ids(dataset)
     if ids is not None:
         payload["video_ids"] = np.asarray(ids)
+    if getattr(args, "quantize_bank", "none") == "int8":
+        from hmmc_tpu.ops.quant import quantize_bank
+
+        payload = quantize_bank(payload)
     np.savez(out, **payload)
     log.info("wrote %d query / %d video features to %s",
              len(q), len(v), out)

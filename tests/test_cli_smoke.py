@@ -339,6 +339,23 @@ def test_run_extract_and_retrieve(data_dir, cross_json, tmp_path):
         np.testing.assert_allclose(m_bank[k], m_eval[k], atol=1e-3,
                                    err_msg=k)
 
+    # --quantize_bank int8 layout: the same bank quantized, re-saved, and
+    # reloaded ranks through the same retrieve path with only the int8
+    # rounding error on the logits (no extra model build needed — the
+    # runner branch applies quantize_bank to exactly this payload)
+    from hmmc_tpu.ops.quant import quantize_bank
+
+    qpath = str(tmp_path / "ex" / "features_int8.npz")
+    np.savez(qpath, **quantize_bank(bank))
+    qbank = dict(np.load(qpath, allow_pickle=False))
+    assert qbank["video"].dtype == np.int8
+    # per-term logit error <= scale * ||v_deq - v|| <= scale*sqrt(H)/254;
+    # three terms (video + frames + 0.5*title), with margin
+    h = bank["video"].shape[-1]
+    bound = 6.0 * float(bank["logit_scale"]) * np.sqrt(h) / 254.0
+    np.testing.assert_allclose(similarity_from_bank(qbank), sim,
+                               atol=bound)
+
 
 def test_run_eval_msvd(cross_json, tmp_path):
     """MSVD end-to-end through the registry + runner (the reference ships

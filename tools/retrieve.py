@@ -29,7 +29,13 @@ def _norm(x: np.ndarray) -> np.ndarray:
 def similarity_from_bank(bank) -> np.ndarray:
     """[Q, V] logits from a features.npz bank (loose_similarity +
     optional top-k frame logits, modeling.py:207-229 +
-    main_task_retrieval.py:332-336)."""
+    main_task_retrieval.py:332-336). Accepts int8-quantized banks
+    (--quantize_bank int8): the video side is dequantized before the
+    same composition, so quantized and float banks rank identically up
+    to the quantization error."""
+    from hmmc_tpu.ops.quant import dequantize_bank
+
+    bank = dequantize_bank(bank)
     scale = float(bank["logit_scale"])
     sim = scale * (_norm(bank["query"]) @ _norm(bank["video"]).T)
     if bool(bank.get("use_frame_fea", False)):

@@ -56,7 +56,14 @@ class RetrievalService:
             clip_model_path=args.clip_model, init_model_path=task.init_model)
         self.params = variables["params"]
 
-        bank = dict(np.load(args.features, allow_pickle=False))
+        from hmmc_tpu.ops.quant import dequantize_bank
+
+        # int8 banks (--quantize_bank int8) are dequantized at load: this
+        # host server ranks in numpy, so the int8 win here is the 4x
+        # smaller artifact; device-side s8 ranking lives in
+        # ops/quant.int8_rank (tools/bench_serving.py measures it).
+        bank = dequantize_bank(dict(np.load(args.features,
+                                            allow_pickle=False)))
         self.scale = float(bank["logit_scale"])
         self.video = _norm(bank["video"].astype(np.float32))
         self.video_ids = [str(v) for v in bank["video_ids"]] \
