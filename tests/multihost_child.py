@@ -12,12 +12,13 @@ pretrain steps to prove queue/ptr/EMA consistency across process counts
 single-process invocation (nproc=1, 8 local devices) produces the ground
 truth the 2-process run must reproduce exactly.
 
-argv: proc_id nproc coordinator local_devices out_json
+argv: proc_id nproc coordinator local_devices out_json [barrier_prefix]
 """
 
 import json
 import os
 import sys
+import time
 
 
 class SynthDataset:
@@ -65,6 +66,21 @@ def main():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if nproc > 1:
+        # Import barrier: on a loaded 1-core host the children's heavy
+        # `import jax` serializes, so without alignment one process can
+        # reach the distributed init tens of seconds before its sibling —
+        # enough to blow Gloo's hard-coded 30 s KV-store connect window.
+        # Align on a sentinel file AFTER imports so all processes enter
+        # initialize() within one poll interval of each other.
+        barrier = sys.argv[6] if len(sys.argv) > 6 else None
+        if barrier:
+            open(f"{barrier}.{proc_id}", "w").close()
+            deadline = time.monotonic() + 570
+            while any(not os.path.exists(f"{barrier}.{j}")
+                      for j in range(nproc)):
+                if time.monotonic() > deadline:
+                    raise RuntimeError("import barrier timeout")
+                time.sleep(0.05)
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=nproc, process_id=proc_id,
                                    initialization_timeout=600)

@@ -1,6 +1,8 @@
 """End-to-end train-step tests on a tiny architecture over an 8-device CPU
 mesh (SURVEY §4: data-parallel semantics testable without a TPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -341,47 +343,28 @@ def test_steps_run_when_embed_dim_differs_from_temporal_hidden():
     reference crashes there (module_cross.py:198 adds 512-wide frame
     position embeddings onto the tower output); here every
     feature-width consumer (frame pos-emb, projector MLPs, queues)
-    derives from arch.embed_dim."""
-    wide = ClipArch(
-        embed_dim=48, image_resolution=32, vision_layers=2, vision_width=64,
-        vision_patch_size=16, context_length=16, vocab_size=256,
-        transformer_width=32, transformer_heads=2, transformer_layers=2)
-    rng = np.random.default_rng(5)
-    b = 8
-    qids, qmask = _text_batch(rng, b, L)
-    video = rng.normal(size=(b, F, 32, 32, 3)).astype(np.float32)
-    batch = {"query_ids": jnp.asarray(qids), "query_mask": jnp.asarray(qmask),
-             "video": jnp.asarray(video)}
-    model = BirdModel(wide, TINY_CROSS)
-    params = model.init(jax.random.PRNGKey(0), batch["query_ids"],
-                        batch["query_mask"], batch["video"])["params"]
-    pe = params["visual_encoder"]["frame_position_embeddings"]
-    assert pe.shape[-1] == 48  # sized from the tower, not the config
-    tx = build_optimizer(params, lr=1e-3, text_lr=1e-4, coef_lr=1.0,
-                         weight_decay=0.2, warmup_proportion=0.1, t_total=50)
-    state = FinetuneState.create(params, tx)
-    step = make_finetune_step(model, tx, TINY_CROSS, use_frame_fea=True)
-    state, m = step(state, batch)
-    assert np.isfinite(float(m["loss"]))
+    derives from arch.embed_dim.
 
-    task = TaskConfig(do_pretrain=True, dataset="msrvtt",
-                      contrast_num_negative=32, max_frames=F,
-                      contrast_temperature=0.07, contrast_momentum=0.9)
-    pmodel = BirdPretrainModel(wide, TINY_CROSS, vocab_size=256)
-    variables = pmodel.init(
-        jax.random.PRNGKey(0), batch["query_ids"], batch["query_mask"],
-        batch["video"])
-    ptx = build_optimizer(variables["params"], lr=1e-3, text_lr=1e-4,
-                          coef_lr=1.0, weight_decay=0.2,
-                          warmup_proportion=0.1, t_total=50)
-    queues = MoCoQueues.create(jax.random.PRNGKey(1), wide.embed_dim,
-                               task.contrast_num_negative, F)
-    pstate = PretrainState.create(variables, ptx, queues)
-    pstep = make_pretrain_step(
-        pmodel, ptx, TINY_CROSS, task, mask_token_id=254, pad_token_id=255,
-        cls_token_id=1)
-    pbatch = {"title_ids": batch["query_ids"],
-              "title_mask": batch["query_mask"], "video": batch["video"]}
-    pstate, pm = pstep(pstate, pbatch, jax.random.PRNGKey(3))
-    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
-        assert np.isfinite(float(pm[k])), k
+    Runs in a fresh subprocess: this scenario compiles/loads the suite's
+    largest XLA:CPU program, and jaxlib 0.9.0's executable
+    materialization segfaulted on it twice (compile path AND
+    persistent-cache deserialize path) when ~100 in-process tests'
+    executables had accumulated — core-dump forensics in docs/design.md.
+    It passes every time in a clean interpreter; production runs one
+    program per process."""
+    import subprocess
+    import sys as _sys
+
+    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "isolated_steps_child.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    cache = jax.config.jax_compilation_cache_dir
+    if cache:
+        env["_HMMC_ISO_CACHE"] = cache
+    proc = subprocess.run([_sys.executable, child, "wide_steps"], env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    assert "wide_steps OK" in proc.stdout
