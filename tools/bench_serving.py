@@ -28,28 +28,38 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _rank_fn(topk: int, dtype):
+def _topk(sim, topk: int, exact: bool):
+    """TPU-native top-k: jax.lax.approx_max_k is the MIPS-retrieval
+    primitive (recall_target 0.95 default) and is several times faster
+    than exact lax.top_k at index scale; --exact_topk switches back."""
+    import jax
+
+    if exact:
+        return jax.lax.top_k(sim, topk)
+    return jax.lax.approx_max_k(sim, topk, recall_target=0.95)
+
+
+def _rank_fn(topk: int, dtype, exact: bool):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def rank(q, bank):
         sim = q.astype(dtype) @ bank.T
-        return jax.lax.top_k(sim.astype(jnp.float32), topk)
+        return _topk(sim.astype(jnp.float32), topk, exact)
 
     return rank
 
 
-def _rank_fn_int8(topk: int):
+def _rank_fn_int8(topk: int, exact: bool):
     import jax
-    import jax.numpy as jnp
 
     from hmmc_tpu.ops.quant import int8_rank
 
     @jax.jit
     def rank(q, bank_q, bank_scale):
         sim = int8_rank(q, bank_q, bank_scale)
-        return jax.lax.top_k(sim, topk)
+        return _topk(sim, topk, exact)
 
     return rank
 
@@ -74,37 +84,43 @@ def main():
     p.add_argument("--queries", type=int, default=128)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--exact_topk", action="store_true",
+                   help="exact lax.top_k instead of lax.approx_max_k")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from hmmc_tpu.ops.quant import quantize_rows_np
+    from hmmc_tpu.ops.quant import quantize_rows
 
-    rng = np.random.default_rng(0)
-    bank = rng.normal(size=(args.videos, args.dim)).astype(np.float32)
-    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
-    q = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    q_dev = jnp.asarray(q)
+    # generate the bank ON DEVICE: a videos x dim fp32 bank is GBs, and
+    # host->device transfer through a remote tunnel would dominate setup
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def _make(key, n, d):
+        x = jax.random.normal(key, (n, d), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    bank = _make(jax.random.PRNGKey(0), args.videos, args.dim)
+    q_dev = _make(jax.random.PRNGKey(1), args.queries, args.dim)
 
     dev = jax.devices()[0].device_kind
     results = {}
 
     for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-        bank_dev = jnp.asarray(bank, dtype)
-        sec = _time(_rank_fn(args.topk, dtype), (q_dev, bank_dev),
-                    args.iters)
+        bank_dev = bank.astype(dtype)
+        sec = _time(_rank_fn(args.topk, dtype, args.exact_topk),
+                    (q_dev, bank_dev), args.iters)
         results[name] = {
             "queries_per_sec": round(args.queries / sec, 1),
             "bank_bytes": int(bank_dev.nbytes),
         }
         del bank_dev
 
-    bq, bs = quantize_rows_np(bank)
-    bq_dev, bs_dev = jnp.asarray(bq), jnp.asarray(bs)
-    sec = _time(_rank_fn_int8(args.topk), (q_dev, bq_dev, bs_dev),
-                args.iters)
+    bq_dev, bs_dev = jax.jit(quantize_rows)(bank)
+    sec = _time(_rank_fn_int8(args.topk, args.exact_topk),
+                (q_dev, bq_dev, bs_dev), args.iters)
     results["int8"] = {
         "queries_per_sec": round(args.queries / sec, 1),
         "bank_bytes": int(bq_dev.nbytes + bs_dev.nbytes),
