@@ -65,22 +65,29 @@ def main():
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    barrier_prefix = sys.argv[6] if len(sys.argv) > 6 else None
+
+    def barrier(stage: str) -> None:
+        """File-sentinel barrier: on a loaded 1-core host the children's
+        heavy phases (imports, per-program compiles) serialize, so without
+        alignment one process reaches a cross-process rendezvous minutes
+        before its sibling — Gloo's KV-store connect window at the FIRST
+        COLLECTIVE EXECUTION is a hard-coded 30 s, and the coordination
+        service's shutdown barrier has its own deadline. Align before
+        every such rendezvous; all processes then enter within one poll
+        interval."""
+        if not barrier_prefix or nproc == 1:
+            return
+        open(f"{barrier_prefix}.{stage}.{proc_id}", "w").close()
+        deadline = time.monotonic() + 570
+        while any(not os.path.exists(f"{barrier_prefix}.{stage}.{j}")
+                  for j in range(nproc)):
+            if time.monotonic() > deadline:
+                raise RuntimeError(f"barrier timeout at stage {stage}")
+            time.sleep(0.05)
+
     if nproc > 1:
-        # Import barrier: on a loaded 1-core host the children's heavy
-        # `import jax` serializes, so without alignment one process can
-        # reach the distributed init tens of seconds before its sibling —
-        # enough to blow Gloo's hard-coded 30 s KV-store connect window.
-        # Align on a sentinel file AFTER imports so all processes enter
-        # initialize() within one poll interval of each other.
-        barrier = sys.argv[6] if len(sys.argv) > 6 else None
-        if barrier:
-            open(f"{barrier}.{proc_id}", "w").close()
-            deadline = time.monotonic() + 570
-            while any(not os.path.exists(f"{barrier}.{j}")
-                      for j in range(nproc)):
-                if time.monotonic() > deadline:
-                    raise RuntimeError("import barrier timeout")
-                time.sleep(0.05)
+        barrier("imports")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=nproc, process_id=proc_id,
                                    initialization_timeout=600)
@@ -127,9 +134,16 @@ def main():
     loader.set_epoch(0)
 
     losses, gnorms = [], []
+    compiled_step = None
     for batch in loader:
         dev = shard_batch(mesh, batch)
-        state, m = step(state, dev)
+        if compiled_step is None:
+            # AOT-compile BEFORE the compile barrier: compilation is
+            # process-local, execution is the first cross-process
+            # rendezvous (Gloo context creation) — align right before it
+            compiled_step = step.lower(state, dev).compile()
+            barrier("ft_compiled")
+        state, m = compiled_step(state, dev)
         losses.append(float(m["loss"]))
         gnorms.append(float(m["grad_norm"]))
 
@@ -169,11 +183,16 @@ def main():
                                pad_token_id=0, cls_token_id=1)
     loader.set_epoch(1)
     plosses = []
+    compiled_pstep = None
     for k, batch in enumerate(loader):
         dev = shard_batch(mesh, {"title_ids": batch["query_ids"],
                                  "title_mask": batch["query_mask"],
                                  "video": batch["video"]})
-        pstate, pm = pstep(pstate, dev, jax.random.PRNGKey(100 + k))
+        rng_k = jax.random.PRNGKey(100 + k)
+        if compiled_pstep is None:
+            compiled_pstep = pstep.lower(pstate, dev, rng_k).compile()
+            barrier("pt_compiled")
+        pstate, pm = compiled_pstep(pstate, dev, rng_k)
         plosses.append(float(pm["loss"]))
     queue_fp = float(sum(
         float(jnp.sum(jnp.abs(x.astype(jnp.float64))))

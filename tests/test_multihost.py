@@ -79,7 +79,7 @@ def _run_once(nproc, tmp_path, tag):
     # a cross-process barrier and dies of coordination-service timeouts
     # (observed as "Shutdown barrier: 1/2 reached" with no result file).
     errs = [str(tmp_path / f"{tag}_{i}.stderr") for i in range(nproc)]
-    barrier = str(tmp_path / f"{tag}.imports_done")
+    barrier = str(tmp_path / f"{tag}.barrier")
     procs = []
     for i in range(nproc):
         with open(errs[i], "wb") as ef:
