@@ -458,6 +458,26 @@ def test_retrieval_service_and_http(data_dir, cross_json, tmp_path):
     assert len(out2["results"]) == 2
     httpd.shutdown()
 
+    # --device_rank: the on-accelerator int8 composition must score each
+    # returned video within the int8 rounding bound of the host fp32
+    # composition for the same query
+    sargs.device_rank = True
+    dsvc = RetrievalService(sargs)
+    dres = dsvc.search("test sentence 3", topk=3)
+    assert len(dres["results"]) == 3
+    from hmmc_tpu.data.text import encode_text as _enc_text
+
+    ids_, mask_ = _enc_text(dsvc.tokenizer, "test sentence 3",
+                            dsvc.task.max_words, dsvc.task.language)
+    qn = np.asarray(dsvc._encode(dsvc.params, ids_[None], mask_[None]))[0]
+    host_sim = svc.score(qn)
+    vid_index = {f"video{i}": i for i in range(N_VIDEOS)}
+    h = bank["video"].shape[-1]
+    bound = 6.0 * float(bank["logit_scale"]) * np.sqrt(h) / 254.0
+    for r in dres["results"]:
+        np.testing.assert_allclose(
+            r["score"], host_sim[vid_index[r["video_id"]]], atol=bound)
+
 
 def test_validate_data_tool(data_dir, tmp_path):
     """tools/validate_data.py: green on the synthetic layout, red on an

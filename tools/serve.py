@@ -93,6 +93,45 @@ class RetrievalService:
             return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
         self._encode = jax.jit(encode)
+
+        # --device_rank: keep the (normalized) bank resident on the
+        # accelerator as int8 + per-row scales and compose the same score
+        # on device (quant.int8_rank/int8_frame_rank + approx top-k) —
+        # the index-scale path measured in tools/bench_serving.py. Host
+        # numpy ranking stays the default (exact fp32 on the dequantized
+        # bank); at small V the matmul is trivial either way.
+        self._device = None
+        if getattr(args, "device_rank", False):
+            from hmmc_tpu.ops import quant
+
+            dev = {"video": tuple(map(jnp.asarray,
+                                      quant.quantize_rows_np(self.video)))}
+            if self.frames is not None:
+                dev["frames"] = tuple(map(
+                    jnp.asarray, quant.quantize_rows_np(self.frames)))
+            if self.title is not None:
+                dev["title"] = tuple(map(
+                    jnp.asarray, quant.quantize_rows_np(self.title)))
+
+            scale, top_frames, w_title = (
+                self.scale, self.top_frames, self.weight_title)
+
+            def rank(q, bank, topk):
+                sim = scale * quant.int8_rank(q, *bank["video"])
+                if "frames" in bank:
+                    fl = scale * quant.int8_frame_rank(q, *bank["frames"])
+                    top = jax.lax.top_k(fl, top_frames)[0]
+                    sim = sim + jnp.mean(top, axis=-1)
+                if "title" in bank:
+                    sim = sim + w_title * scale * quant.int8_rank(
+                        q, *bank["title"])
+                k = min(topk, sim.shape[-1])
+                return jax.lax.approx_max_k(sim, k, recall_target=0.95)
+
+            self._rank = jax.jit(rank, static_argnums=2)
+            self._bank_dev = dev
+            self._device = True
+
         # warm the compile so the first query isn't a compile
         self.search("warmup query")
 
@@ -117,13 +156,20 @@ class RetrievalService:
         t0 = time.perf_counter()
         ids, mask = encode_text(self.tokenizer, text, self.task.max_words,
                                 self.task.language)
-        q = np.asarray(self._encode(self.params, ids[None], mask[None]))[0]
-        sim = self.score(q)
-        order = np.argsort(-sim)[:topk]
+        qdev = self._encode(self.params, ids[None], mask[None])
+        if self._device:
+            scores, idx = self._rank(qdev, self._bank_dev, int(topk))
+            scores = np.asarray(scores)[0]
+            order = np.asarray(idx)[0]
+        else:
+            sim = self.score(np.asarray(qdev)[0])
+            order = np.argsort(-sim)[:topk]
+            scores = sim[order]
         latency = (time.perf_counter() - t0) * 1e3
         return {
             "results": [{"video_id": self.video_ids[i],
-                         "score": round(float(sim[i]), 4)} for i in order],
+                         "score": round(float(s), 4)}
+                        for i, s in zip(order, scores)],
             "latency_ms": round(latency, 2),
         }
 
@@ -180,6 +226,9 @@ def main():
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--features", required=True)
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--device_rank", action="store_true",
+                   help="rank on the accelerator with the int8 bank "
+                        "kernels + approx top-k (index-scale serving)")
     known, rest = p.parse_known_args()
     # reuse the standard flag surface for model construction
     args = get_args("HMMC-TPU retrieval server",
@@ -187,6 +236,7 @@ def main():
                     + ([] if "--output_dir" in rest
                        else ["--output_dir", "/tmp/hmmc_serve"]))
     args.features = known.features
+    args.device_rank = known.device_rank
     serve(RetrievalService(args), known.port)
 
 
