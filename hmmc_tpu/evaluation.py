@@ -142,6 +142,11 @@ class Evaluator:
         var = {"params": params}
         if batch_stats:  # ResNet towers: frozen BN running stats at eval
             var["batch_stats"] = batch_stats
+        # factory.build_model returns HOST numpy variables (cheap overlay
+        # merging); pin them to device once — otherwise every blocked
+        # encoder call re-uploads the full tower weights (~600 MB for
+        # ViT-B/32, ~10 s per call through a remote-attached chip)
+        var = jax.device_put(var)
         q_enc = _BlockedEncoder(
             lambda i, m: self._encode_text(var, i, m), self.text_block)
         t_enc = _BlockedEncoder(
