@@ -39,6 +39,8 @@ class FramePackWriter:
 
     def __init__(self, path: str):
         self.path = path
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
         self._f = open(path, "wb")
         self._f.write(MAGIC)
         self._f.write(struct.pack("<Q", 0))  # index offset patched on close
