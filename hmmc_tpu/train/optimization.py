@@ -130,15 +130,26 @@ def bert_adam(
     decay_leaves: Optional[Any] = None,
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
+    state_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """lr_leaves: pytree of per-leaf base lr (see :func:`lr_tree`);
-    decay_leaves: pytree of bool (see :func:`decay_mask`)."""
+    decay_leaves: pytree of bool (see :func:`decay_mask`).
+
+    ``state_dtype`` (opt-in, e.g. ``jnp.bfloat16``) stores the m/v moments in
+    a reduced dtype to cut the optimizer's HBM traffic; the moment update and
+    the parameter update always compute in fp32, only the carried state is
+    down-cast. ``None`` (default) keeps exact reference semantics: state in
+    the parameter dtype."""
     sched_fn: Callable = SCHEDULES[schedule]
 
+    def _state_zeros(p):
+        return jnp.zeros(p.shape, state_dtype or p.dtype)
+
     def init(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
-                             v=jax.tree_util.tree_map(jnp.zeros_like, params))
+        return BertAdamState(
+            step=jnp.zeros((), jnp.int32),
+            m=jax.tree_util.tree_map(_state_zeros, params),
+            v=jax.tree_util.tree_map(_state_zeros, params))
 
     def update(grads, state, params):
         if params is None:
@@ -152,10 +163,17 @@ def bert_adam(
 
             grads = jax.tree_util.tree_map(clip, grads)
 
-        m = jax.tree_util.tree_map(
-            lambda mm, g: mm * b1 + g * (1 - b1), state.m, grads)
-        v = jax.tree_util.tree_map(
-            lambda vv, g: vv * b2 + jnp.square(g) * (1 - b2), state.v, grads)
+        def upd_m(mm, g):
+            out = mm.astype(jnp.float32) * b1 + g.astype(jnp.float32) * (1 - b1)
+            return out.astype(state_dtype) if state_dtype else out.astype(mm.dtype)
+
+        def upd_v(vv, g):
+            g32 = g.astype(jnp.float32)
+            out = vv.astype(jnp.float32) * b2 + jnp.square(g32) * (1 - b2)
+            return out.astype(state_dtype) if state_dtype else out.astype(vv.dtype)
+
+        m = jax.tree_util.tree_map(upd_m, state.m, grads)
+        v = jax.tree_util.tree_map(upd_v, state.v, grads)
 
         if t_total != -1:
             progress = state.step.astype(jnp.float32) / t_total
@@ -164,10 +182,10 @@ def bert_adam(
             mult = jnp.float32(1.0)
 
         def upd(mm, vv, p, lr_leaf, decay_leaf):
-            u = mm / (jnp.sqrt(vv) + eps)
+            u = mm.astype(jnp.float32) / (jnp.sqrt(vv.astype(jnp.float32)) + eps)
             wd = weight_decay * jnp.asarray(decay_leaf, u.dtype)
             u = u + wd * p
-            return -(lr_leaf * mult) * u
+            return (-(lr_leaf * mult) * u).astype(p.dtype)
 
         if decay_leaves is None:
             dl = jax.tree_util.tree_map(lambda _: True, params)
@@ -189,10 +207,14 @@ def build_optimizer(
     t_total: int,
     schedule: str = "warmup_cosine",
     global_clip_norm: float = 1.0,
+    state_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """The full reference chain: global clip_grad_norm(1.0)
     (main_task_retrieval.py:290) -> BertAdam(warmup_cosine, b2=.98, e=1e-6,
-    per-param clip 1.0) with 6 param groups (prep_optimizer)."""
+    per-param clip 1.0) with 6 param groups (prep_optimizer).
+
+    ``state_dtype=jnp.bfloat16`` (CLI ``--optim_bf16_state``) halves the
+    optimizer-state HBM traffic; see :func:`bert_adam`."""
     chain = [
         optax.clip_by_global_norm(global_clip_norm),
         bert_adam(
@@ -204,6 +226,7 @@ def build_optimizer(
             decay_leaves=decay_mask(params),
             weight_decay=weight_decay,
             max_grad_norm=1.0,
+            state_dtype=state_dtype,
         ),
     ]
     return optax.chain(*chain)

@@ -146,6 +146,31 @@ def test_run_finetune_msrvtt(data_dir, cross_json, tmp_path):
     assert os.path.isfile(os.path.join(out, "pytorch_model.bin.0"))
 
 
+def test_run_finetune_bf16_optim_state(data_dir, cross_json, tmp_path):
+    """--optim_bf16_state through the full runner: trains, evals, and the
+    Orbax checkpoint round-trips the bf16 moments (resume restores into the
+    tx.init-built bf16 template)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.runner import run_finetune
+    from hmmc_tpu.train import orbax_io
+
+    out = str(tmp_path / "bf16opt")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt",
+                  "--optim_bf16_state"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    raw = orbax_io.restore_raw(os.path.join(out, "ckpt"))
+    moments = [l for p, l in jax.tree_util.tree_leaves_with_path(raw)
+               if any("'m'" in str(k) or "'v'" in str(k) for k in p)
+               and hasattr(l, "dtype") and l.ndim > 0]
+    assert moments, "no BertAdam moments found in the raw checkpoint"
+    assert all(l.dtype == jnp.bfloat16 for l in moments), (
+        {l.dtype for l in moments})
+
+
 def test_reference_checkpoint_reimport(data_dir, cross_json, tmp_path):
     """Exported torch checkpoint loads back through --init_model."""
     from hmmc_tpu.runner import run_eval, run_finetune

@@ -104,6 +104,39 @@ def test_decay_and_lr_classification():
     assert lt["cls"]["transform_ln"]["scale"] == 1e-4
 
 
+def test_bf16_state_dtype_and_trajectory():
+    """--optim_bf16_state: moments carried in bf16, math in fp32; a short
+    trajectory stays close to the fp32-state run (bf16 keeps fp32's exponent
+    range, so only ~2^-8 relative mantissa noise enters each step)."""
+    rng = np.random.default_rng(7)
+    params = {"w": jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32)),
+              "b": jnp.asarray(rng.normal(size=(16,)).astype(np.float32))}
+    kw = dict(lr=1e-3, text_lr=1e-4, coef_lr=1.0, weight_decay=0.01,
+              warmup_proportion=0.1, t_total=100)
+    tx32 = build_optimizer(params, **kw)
+    tx16 = build_optimizer(params, state_dtype=jnp.bfloat16, **kw)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    # bf16 carried moments (inner bert_adam state is chain element 1)
+    assert s16[1].m["w"].dtype == jnp.bfloat16
+    assert s16[1].v["w"].dtype == jnp.bfloat16
+    assert s32[1].m["w"].dtype == jnp.float32
+
+    p32 = p16 = params
+    for i in range(8):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32)) + 0.1 * p, p32)
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = jax.tree_util.tree_map(lambda p, u: p + u, p32, u32)
+        p16 = jax.tree_util.tree_map(lambda p, u: p + u, p16, u16)
+        # updates stay fp32 regardless of state dtype
+        assert u16["w"].dtype == jnp.float32
+    rel = np.abs(np.asarray(p16["w"]) - np.asarray(p32["w"])) / (
+        np.abs(np.asarray(p32["w"])) + 1e-6)
+    assert rel.max() < 0.05, rel.max()
+
+
 def test_build_optimizer_end_to_end():
     params = {"visual_encoder": {"visual": {"proj": jnp.ones((4, 4))}},
               "head": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}}
