@@ -68,6 +68,8 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    if os.environ.get("HMMC_NO_NATIVE_JPEG"):
+        return False
     return _load() is not None
 
 

@@ -568,6 +568,9 @@ def _enable_compile_cache(args) -> None:
     the ViT-B train step is ~20-40s; repeat launches hit the cache). An
     already-configured cache dir (e.g. the test suite's shared one) is
     respected."""
+    from hmmc_tpu.utils.xla_cache import harden_cache_writes
+
+    harden_cache_writes()  # torn cache entries segfault later deserializes
     out = getattr(args, "output_dir", None)
     if out and not jax.config.jax_compilation_cache_dir:
         cache = os.path.join(out, ".jax_cache")

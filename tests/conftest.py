@@ -96,6 +96,30 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# Persistent-cache robustness (docs/design.md "Test-gate reliability"):
+# jax's LRUCache.put writes entries NON-atomically (plain write_bytes, and
+# no file lock when eviction is off), so a killed/crashed run — or two
+# processes sharing the cache dir — leaves a TORN *-cache file; XLA's
+# native deserializer is not hardened against malformed input and
+# SIGSEGVs on it, on every later run that reads that key (observed live
+# 2026-08-18: deterministic mid-suite segfaults inside
+# compilation_cache.get_executable_and_time while the same test passes in
+# isolation). harden_cache_writes() makes puts atomic (temp + os.replace)
+# so this cannot recur.
+from hmmc_tpu.utils.xla_cache import harden_cache_writes  # noqa: E402
+
+harden_cache_writes()
+
+# NOTE (2026-08-18, negative result recorded in docs/design.md): do NOT
+# "defensively" retain strong references to every loaded executable /
+# serialized buffer via wrappers on jax's compile+cache-read choke
+# points. That experiment — intended as a guard against the jaxlib 0.9.0
+# use-after-unmap — itself made `backend.deserialize_executable` SIGSEGV
+# *deterministically* at the first heavyweight cache read after ~16
+# runner-level tests (reproduced 3/3 with the wrappers, 17/17-pass with
+# them disabled, everything else equal). Executable lifetime must stay
+# exactly as jax manages it.
+
 import pytest  # noqa: E402
 
 # Debug aid (no-op unless set): re-arm a native SIGABRT backtrace handler
