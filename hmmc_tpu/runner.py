@@ -31,6 +31,7 @@ from hmmc_tpu.train.optimization import build_optimizer
 from hmmc_tpu.train.trainer import (
     FinetuneState, PretrainState, make_finetune_step, make_finetune_vt_step,
     make_pretrain_step)
+from hmmc_tpu.utils.preemption import PreemptionWatcher
 
 
 def _prepare_finetune_batch(batch: Dict) -> Dict:
@@ -218,53 +219,67 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
         last_saved = global_step
 
-    for epoch in range(start_epoch, task.epochs):
-        train_loader.set_epoch(epoch)
-        batch_in_epoch = 0
-        if resume_skip:
-            # exact mid-epoch resume: fast-forward the deterministic
-            # (seed, epoch) order past the batches the crashed run already
-            # trained on — every batch of the epoch is consumed once
-            train_loader.skip_batches(resume_skip)
-            batch_in_epoch = resume_skip
-            resume_skip = 0
-        t_data, t_step = 0.0, 0.0
-        t0 = time.time()
-        save_steps = getattr(args, "save_steps", 0)
-        for dev_batch in device_prefetch(iter(train_loader), place):
-            profiler.step()
-            t1 = time.time()
-            state, metrics = step_fn(state, dev_batch)
-            t2 = time.time()
-            t_data += t1 - t0
-            t_step += t2 - t1
-            global_step += 1
-            batch_in_epoch += 1
-            if save_steps and global_step % save_steps == 0:
-                save(epoch, batch_in_epoch)
-            if global_step % task.n_display == 0:
-                loss = float(metrics["loss"])
-                log.info(
-                    "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
-                    epoch, global_step, loss, t_data, t_step)
-                writer.scalar("loss", loss, global_step)
-                t_data = t_step = 0.0
+    preempt = PreemptionWatcher().install()
+    try:
+        for epoch in range(start_epoch, task.epochs):
+            train_loader.set_epoch(epoch)
+            batch_in_epoch = 0
+            if resume_skip:
+                # exact mid-epoch resume: fast-forward the deterministic
+                # (seed, epoch) order past the batches the crashed run
+                # already trained on — every batch of the epoch is
+                # consumed once
+                train_loader.skip_batches(resume_skip)
+                batch_in_epoch = resume_skip
+                resume_skip = 0
+            t_data, t_step = 0.0, 0.0
             t0 = time.time()
-        save(epoch, batch_in_epoch, epoch_end=True)
-        if task.output_dir:
-            orbax_io.save_reference_checkpoint(
-                os.path.join(task.output_dir,
-                             f"pytorch_model.bin.{epoch}"),
-                state.params, language=task.language,
-                batch_stats=state.batch_stats)
-        metrics = evaluator.run(state.params, eval_loader, eval_dataset, log,
-                                batch_stats=state.batch_stats)
-        writer.scalar("R1", metrics["R1"], epoch)
-        if metrics["R1"] > best_r1:
-            best_r1, best_metrics = metrics["R1"], metrics
-            log.info("new best R@1 %.1f at epoch %d", best_r1, epoch)
-    profiler.close()
-    writer.close()
+            save_steps = getattr(args, "save_steps", 0)
+            for dev_batch in device_prefetch(iter(train_loader), place):
+                profiler.step()
+                t1 = time.time()
+                state, metrics = step_fn(state, dev_batch)
+                t2 = time.time()
+                t_data += t1 - t0
+                t_step += t2 - t1
+                global_step += 1
+                batch_in_epoch += 1
+                if save_steps and global_step % save_steps == 0:
+                    save(epoch, batch_in_epoch)
+                if preempt.triggered:
+                    save(epoch, batch_in_epoch,
+                         epoch_end=batch_in_epoch == steps_per_epoch)
+                    log.warning(
+                        "preemption signal — exact state saved at step %d "
+                        "(epoch %d, batch %d/%d); rerun with --resume to "
+                        "continue losslessly", global_step, epoch,
+                        batch_in_epoch, steps_per_epoch)
+                    return best_metrics
+                if global_step % task.n_display == 0:
+                    loss = float(metrics["loss"])
+                    log.info(
+                        "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
+                        epoch, global_step, loss, t_data, t_step)
+                    writer.scalar("loss", loss, global_step)
+                    t_data = t_step = 0.0
+                t0 = time.time()
+            save(epoch, batch_in_epoch, epoch_end=True)
+            if task.output_dir:
+                orbax_io.save_reference_checkpoint(
+                    os.path.join(task.output_dir,
+                                 f"pytorch_model.bin.{epoch}"),
+                    state.params, language=task.language,
+                    batch_stats=state.batch_stats)
+            metrics = evaluator.run(state.params, eval_loader, eval_dataset,
+                                    log, batch_stats=state.batch_stats)
+            writer.scalar("R1", metrics["R1"], epoch)
+            if metrics["R1"] > best_r1:
+                best_r1, best_metrics = metrics["R1"], metrics
+                log.info("new best R@1 %.1f at epoch %d", best_r1, epoch)
+    finally:
+        preempt.uninstall()
+        profiler.close()
+        writer.close()
     log.info("best t2v R@1: %.1f", best_r1)
     return best_metrics
 
@@ -377,70 +392,86 @@ def run_pretrain(args, log=None) -> None:
         orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
         last_saved = global_step
 
-    for epoch in range(start_epoch, task.epochs):
-        loader.set_epoch(epoch)
-        batch_in_epoch = 0
-        if resume_skip:
-            loader.skip_batches(resume_skip)
-            batch_in_epoch = resume_skip
-            resume_skip = 0
-        aug_counter = epoch * steps_per_epoch + batch_in_epoch
+    preempt = PreemptionWatcher().install()
+    try:
+        for epoch in range(start_epoch, task.epochs):
+            loader.set_epoch(epoch)
+            batch_in_epoch = 0
+            if resume_skip:
+                loader.skip_batches(resume_skip)
+                batch_in_epoch = resume_skip
+                resume_skip = 0
+            aug_counter = epoch * steps_per_epoch + batch_in_epoch
 
-        def place(batch):
-            nonlocal aug_counter
-            r_aug = jax.random.fold_in(aug_rng, aug_counter)
-            aug_counter += 1
-            if task.dataset == "vatex":
-                # pretrain over vatex uses the caption as both tag & title
-                # (dataloader_vatex_retrieval.py:248-249)
-                batch = dict(batch)
-                batch.setdefault("title_ids", batch.pop("query_ids"))
-                batch.setdefault("title_mask", batch.pop("query_mask"))
-            ra = ((task.randaugment_n, task.randaugment_m)
-                  if task.use_randaugment else None)
-            return shard_batch(mesh, _prepare_pretrain_batch(
-                batch, r_aug, out=task.image_resolution or 224,
-                randaugment=ra))
+            def place(batch):
+                nonlocal aug_counter
+                r_aug = jax.random.fold_in(aug_rng, aug_counter)
+                aug_counter += 1
+                if task.dataset == "vatex":
+                    # pretrain over vatex uses the caption as both tag &
+                    # title (dataloader_vatex_retrieval.py:248-249)
+                    batch = dict(batch)
+                    batch.setdefault("title_ids", batch.pop("query_ids"))
+                    batch.setdefault("title_mask", batch.pop("query_mask"))
+                ra = ((task.randaugment_n, task.randaugment_m)
+                      if task.use_randaugment else None)
+                return shard_batch(mesh, _prepare_pretrain_batch(
+                    batch, r_aug, out=task.image_resolution or 224,
+                    randaugment=ra))
 
-        for dev_batch in device_prefetch(iter(loader), place):
-            r_step = jax.random.fold_in(step_rng, global_step)
-            state, metrics = step_fn(state, dev_batch, r_step)
-            global_step += 1
-            batch_in_epoch += 1
-            if save_steps and global_step % save_steps == 0:
-                save(epoch, batch_in_epoch)
-            if global_step % task.n_display == 0:
-                log.info(
-                    "epoch %d step %d loss %.4f (FAM %.3f VTM %.3f FTM "
-                    "%.3f MLM %.3f)", epoch, global_step,
-                    float(metrics["loss"]), float(metrics["loss_FAM"]),
-                    float(metrics["loss_VTM"]), float(metrics["loss_FTM"]),
-                    float(metrics["loss_MLM"]))
-                for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
-                          "loss_MLM"):
-                    writer.scalar(k, float(metrics[k]), global_step)
-        save(epoch, batch_in_epoch, epoch_end=True)
-        if task.output_dir:
-            orbax_io.save_reference_checkpoint(
-                os.path.join(task.output_dir,
-                             f"pytorch_model.bin.{epoch}"),
-                state.params, language=task.language,
-                pretrain_state=state)
-        # the reference pretrain ALWAYS evals on the vatex (zh) / msrvtt
-        # (en) test set regardless of --dataset (main_pretrain.py:512-515);
-        # here it runs when that eval data is present
-        eval_ds_name = "vatex" if task.language == "chinese" else "msrvtt"
-        try:
-            eval_loader, eval_dataset = DATALOADER_DICT[eval_ds_name][
-                "test"](task.replace(dataset=eval_ds_name), tokenizer)
-            ev = Evaluator(model, task)
-            metrics = ev.run(state.params, eval_loader, eval_dataset, log,
-                             batch_stats=state.batch_stats)
-            writer.scalar("R1", metrics["R1"], epoch)
-        except FileNotFoundError as e:
-            log.info("skipping pretrain eval (%s data not found: %s)",
-                     eval_ds_name, e)
-    writer.close()
+            for dev_batch in device_prefetch(iter(loader), place):
+                r_step = jax.random.fold_in(step_rng, global_step)
+                state, metrics = step_fn(state, dev_batch, r_step)
+                global_step += 1
+                batch_in_epoch += 1
+                if save_steps and global_step % save_steps == 0:
+                    save(epoch, batch_in_epoch)
+                if preempt.triggered:
+                    save(epoch, batch_in_epoch,
+                         epoch_end=batch_in_epoch == steps_per_epoch)
+                    log.warning(
+                        "preemption signal — exact MoCo state saved at "
+                        "step %d (epoch %d, batch %d/%d); rerun with "
+                        "--resume to continue losslessly", global_step,
+                        epoch, batch_in_epoch, steps_per_epoch)
+                    return
+                if global_step % task.n_display == 0:
+                    log.info(
+                        "epoch %d step %d loss %.4f (FAM %.3f VTM %.3f FTM "
+                        "%.3f MLM %.3f)", epoch, global_step,
+                        float(metrics["loss"]), float(metrics["loss_FAM"]),
+                        float(metrics["loss_VTM"]),
+                        float(metrics["loss_FTM"]),
+                        float(metrics["loss_MLM"]))
+                    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
+                              "loss_MLM"):
+                        writer.scalar(k, float(metrics[k]), global_step)
+            save(epoch, batch_in_epoch, epoch_end=True)
+            if task.output_dir:
+                orbax_io.save_reference_checkpoint(
+                    os.path.join(task.output_dir,
+                                 f"pytorch_model.bin.{epoch}"),
+                    state.params, language=task.language,
+                    pretrain_state=state)
+            # the reference pretrain ALWAYS evals on the vatex (zh) /
+            # msrvtt (en) test set regardless of --dataset
+            # (main_pretrain.py:512-515); here it runs when that eval
+            # data is present
+            eval_ds_name = ("vatex" if task.language == "chinese"
+                            else "msrvtt")
+            try:
+                eval_loader, eval_dataset = DATALOADER_DICT[eval_ds_name][
+                    "test"](task.replace(dataset=eval_ds_name), tokenizer)
+                ev = Evaluator(model, task)
+                metrics = ev.run(state.params, eval_loader, eval_dataset,
+                                 log, batch_stats=state.batch_stats)
+                writer.scalar("R1", metrics["R1"], epoch)
+            except FileNotFoundError as e:
+                log.info("skipping pretrain eval (%s data not found: %s)",
+                         eval_ds_name, e)
+    finally:
+        preempt.uninstall()
+        writer.close()
 
 
 def _dataset_video_ids(dataset):

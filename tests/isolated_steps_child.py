@@ -101,7 +101,51 @@ def wide_steps():
     print("wide_steps OK")
 
 
-SCENARIOS = {"wide_steps": wide_steps}
+def accum_queue():
+    """Body of test_pretrain_grad_accumulation_per_micro_queue: the
+    n_accum=2 MoCo step (EMA -> key forward -> enqueue PER MICRO-BATCH,
+    reference modeling.py:368-412) vs the unaccumulated step. The second
+    repeat offender of the jaxlib materialization segfault: two full-suite
+    runs died at this statement (once on the compile path, once on the
+    persistent-cache deserialize), both only after ~140 in-process tests;
+    it passes every time in a fresh interpreter."""
+    import test_trainer as tt
+    from hmmc_tpu.models.pretrain import BirdPretrainModel
+    from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+
+    B = tt.B
+    state, step2, batch = tt._pretrain_setup(n_accum=2)
+    mesh = make_mesh(MeshSpec(dp=8))
+    batch = shard_batch(mesh, batch)
+    ptr0 = int(state.queues.ptr)
+
+    model = BirdPretrainModel(tt.TINY, tt.TINY_CROSS, vocab_size=256)
+    title_k = model.apply(
+        {"params": {"text_encoder": state.params["text_encoder"]}},
+        batch["title_ids"], batch["title_mask"], method="encode_text")
+    expect = np.asarray(title_k)
+    expect = expect / np.linalg.norm(expect, axis=-1, keepdims=True)
+
+    state2, m2 = step2(state, batch, jax.random.PRNGKey(3))
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        assert np.isfinite(float(m2[k])), k
+    # ptr advances by the FULL batch
+    assert int(state2.queues.ptr) == (ptr0 + B) % 32
+    # enqueued columns equal the normalized title keys in batch order
+    # (the first EMA is identity since params_k starts as a copy)
+    got = np.asarray(state2.queues.title_cross)[:, ptr0:ptr0 + B].T
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    # fresh identical setup, no accumulation: VTM must differ (same
+    # queues at micro 1, but micro 2 contrasts against micro 1's keys)
+    state1, step1, batch1 = tt._pretrain_setup(n_accum=1)
+    batch1 = shard_batch(mesh, batch1)
+    _, m1 = step1(state1, batch1, jax.random.PRNGKey(3))
+    assert not np.isclose(float(m1["loss_VTM"]), float(m2["loss_VTM"]))
+    print("accum_queue OK")
+
+
+SCENARIOS = {"wide_steps": wide_steps, "accum_queue": accum_queue}
 
 if __name__ == "__main__":
     SCENARIOS[sys.argv[1]]()

@@ -622,3 +622,72 @@ def test_mid_epoch_resume_consumes_every_batch_once(
     fmeta = orbax_io.load_progress_meta(ckpt, final)
     assert final == 3  # global steps == one epoch's worth, no repeats
     assert fmeta["epoch_end"] and fmeta["epoch"] == 0
+
+
+def test_sigterm_preemption_saves_and_resumes(
+        data_dir, cross_json, tmp_path, monkeypatch):
+    """Preemption-safe training: a SIGTERM mid-epoch (the spot/preemptible
+    TPU-VM eviction warning) triggers an exact (epoch, batch) checkpoint
+    and a CLEAN return; --resume then consumes the remaining batches
+    exactly once. The reference simply dies, losing the optimizer state
+    and the data position (main_task_retrieval.py:215-222)."""
+    import signal
+
+    import hmmc_tpu.data.loader as loader_mod
+    from hmmc_tpu.runner import run_finetune
+    from hmmc_tpu.train import orbax_io
+
+    out = str(tmp_path / "preempt")
+    consumed = []
+    orig = loader_mod.device_prefetch
+
+    def patched_factory(sigterm_after):
+        def patched(it, place, depth=2):
+            pending = []
+
+            def rec():
+                for b in it:
+                    pending.append(np.asarray(b["idx"]).copy())
+                    yield b
+
+            def gen():
+                for i, db in enumerate(orig(rec(), place, depth)):
+                    consumed.append(pending.pop(0))
+                    yield db
+                    if sigterm_after is not None and i + 1 == sigterm_after:
+                        os.kill(os.getpid(), signal.SIGTERM)
+            return gen()
+        return patched
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+
+    # run 1: SIGTERM lands after the 1st of 3 batches; the loop finishes
+    # the already-prefetched batch 2, saves, and returns cleanly
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt"])
+    monkeypatch.setattr(loader_mod, "device_prefetch", patched_factory(1))
+    metrics = run_finetune(args)
+    assert metrics == {}  # preempted before any epoch completed
+    # the previous SIGTERM disposition is restored on return
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    assert len(consumed) == 2
+    ckpt = os.path.join(out, "ckpt")
+    latest = orbax_io.latest_step(ckpt)
+    meta = orbax_io.load_progress_meta(ckpt, latest)
+    assert meta == {"epoch": 0, "batch_in_epoch": 2,
+                    "steps_per_epoch": 3, "epoch_end": False}
+
+    # run 2: resume consumes the one remaining batch and finishes
+    args2 = _args(data_dir, cross_json, out,
+                  ["--do_train", "--dataset", "msrvtt", "--resume"])
+    monkeypatch.setattr(loader_mod, "device_prefetch",
+                        patched_factory(None))
+    metrics = run_finetune(args2)
+    assert np.isfinite(metrics["R1"])
+
+    got = np.concatenate(consumed)
+    expect = np.random.default_rng(args.seed + 0).permutation(24)[:24]
+    np.testing.assert_array_equal(got, expect)
+    final = orbax_io.latest_step(ckpt)
+    fmeta = orbax_io.load_progress_meta(ckpt, final)
+    assert final == 3 and fmeta["epoch_end"] and fmeta["epoch"] == 0

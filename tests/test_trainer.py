@@ -245,6 +245,34 @@ def test_finetune_step_with_frame_mask():
     assert float(mm["loss"]) != float(mp["loss"])
 
 
+def _run_isolated_scenario(name: str, marker: str):
+    """Launch tests/isolated_steps_child.py in a fresh interpreter.
+
+    Why: after ~100-140 in-process tests, jaxlib 0.9.0's XLA:CPU
+    executable materialization can segfault on the suite's LARGEST
+    programs — on the compile path or the persistent-cache deserialize
+    path (core-dump forensics in docs/design.md, "Test-gate
+    reliability"). The affected scenarios pass every time in a clean
+    interpreter, which is also the production shape (one program, one
+    process). The child shares the suite's persistent compile cache."""
+    import subprocess
+    import sys as _sys
+
+    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "isolated_steps_child.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    cache = jax.config.jax_compilation_cache_dir
+    if cache:
+        env["_HMMC_ISO_CACHE"] = cache
+    proc = subprocess.run([_sys.executable, child, name], env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    assert marker in proc.stdout
+
+
 def test_pretrain_grad_accumulation_per_micro_queue():
     """n_accum=2 must run EMA -> key forward -> enqueue PER MICRO-BATCH
     (the reference's _momentum_update/_dequeue_and_enqueue live inside
@@ -253,34 +281,12 @@ def test_pretrain_grad_accumulation_per_micro_queue():
     columns equal the normalized title keys in batch order (the first EMA
     is identity since params_k starts as a copy of params); the VTM loss
     differs from the unaccumulated step because micro 2's negatives
-    include micro 1's keys."""
-    from hmmc_tpu.models.pretrain import BirdPretrainModel
+    include micro 1's keys.
 
-    state, step2, batch = _pretrain_setup(n_accum=2)
-    mesh = make_mesh(MeshSpec(dp=8))
-    batch = shard_batch(mesh, batch)
-    ptr0 = int(state.queues.ptr)
-
-    model = BirdPretrainModel(TINY, TINY_CROSS, vocab_size=256)
-    title_k = model.apply(
-        {"params": {"text_encoder": state.params["text_encoder"]}},
-        batch["title_ids"], batch["title_mask"], method="encode_text")
-    expect = np.asarray(title_k)
-    expect = expect / np.linalg.norm(expect, axis=-1, keepdims=True)
-
-    state2, m2 = step2(state, batch, jax.random.PRNGKey(3))
-    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
-        assert np.isfinite(float(m2[k])), k
-    assert int(state2.queues.ptr) == (ptr0 + B) % 32
-    got = np.asarray(state2.queues.title_cross)[:, ptr0:ptr0 + B].T
-    np.testing.assert_allclose(got, expect, atol=1e-5)
-
-    # fresh identical setup, no accumulation: VTM must differ (same
-    # queues at micro 1, but micro 2 contrasts against micro 1's keys)
-    state1, step1, batch1 = _pretrain_setup(n_accum=1)
-    batch1 = shard_batch(mesh, batch1)
-    _, m1 = step1(state1, batch1, jax.random.PRNGKey(3))
-    assert not np.isclose(float(m1["loss_VTM"]), float(m2["loss_VTM"]))
+    Runs in a fresh subprocess (scenario ``accum_queue``): two full-suite
+    runs segfaulted at exactly this step's materialization — the second
+    repeat offender after ``wide_steps`` — see _run_isolated_scenario."""
+    _run_isolated_scenario("accum_queue", "accum_queue OK")
 
 
 def test_pretrain_reference_checkpoint_roundtrip(tmp_path):
@@ -345,26 +351,8 @@ def test_steps_run_when_embed_dim_differs_from_temporal_hidden():
     feature-width consumer (frame pos-emb, projector MLPs, queues)
     derives from arch.embed_dim.
 
-    Runs in a fresh subprocess: this scenario compiles/loads the suite's
-    largest XLA:CPU program, and jaxlib 0.9.0's executable
-    materialization segfaulted on it twice (compile path AND
-    persistent-cache deserialize path) when ~100 in-process tests'
-    executables had accumulated — core-dump forensics in docs/design.md.
-    It passes every time in a clean interpreter; production runs one
-    program per process."""
-    import subprocess
-    import sys as _sys
-
-    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "isolated_steps_child.py")
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    cache = jax.config.jax_compilation_cache_dir
-    if cache:
-        env["_HMMC_ISO_CACHE"] = cache
-    proc = subprocess.run([_sys.executable, child, "wide_steps"], env=env,
-                          capture_output=True, text=True, timeout=900)
-    assert proc.returncode == 0, (
-        f"rc={proc.returncode}\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
-    assert "wide_steps OK" in proc.stdout
+    Runs in a fresh subprocess (scenario ``wide_steps``): this scenario
+    compiles/loads one of the suite's largest XLA:CPU programs and
+    segfaulted twice in-suite (compile path AND persistent-cache
+    deserialize path) — see _run_isolated_scenario."""
+    _run_isolated_scenario("wide_steps", "wide_steps OK")
