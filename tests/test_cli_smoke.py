@@ -691,3 +691,58 @@ def test_sigterm_preemption_saves_and_resumes(
     final = orbax_io.latest_step(ckpt)
     fmeta = orbax_io.load_progress_meta(ckpt, final)
     assert final == 3 and fmeta["epoch_end"] and fmeta["epoch"] == 0
+
+
+def test_elastic_resume_on_smaller_mesh(
+        data_dir, cross_json, tmp_path, monkeypatch):
+    """Elastic restart: a run interrupted on a dp=8 mesh resumes on a
+    dp=2 mesh (--dp_size 2) and finishes with the SAME eval metrics as
+    an uninterrupted run — params/optimizer state are replicated and
+    batches are global, so the trajectory is device-count independent.
+    This is the TPU fault-tolerance story the reference cannot have
+    (fixed one-process-per-GPU DDP world size)."""
+    import hmmc_tpu.data.loader as loader_mod
+    from hmmc_tpu.runner import run_finetune
+    from hmmc_tpu.train import orbax_io
+
+    # baseline: one uninterrupted run
+    base_out = str(tmp_path / "elastic_base")
+    args_base = _args(data_dir, cross_json, base_out,
+                      ["--do_train", "--dataset", "msrvtt"])
+    base = run_finetune(args_base)
+
+    out = str(tmp_path / "elastic")
+    orig = loader_mod.device_prefetch
+
+    class Crash(RuntimeError):
+        pass
+
+    def crash_after_one(it, place, depth=2):
+        def gen():
+            for i, db in enumerate(orig(it, place, depth)):
+                yield db
+                if i == 0:
+                    raise Crash()
+        return gen()
+
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt", "--save_steps", "1"])
+    monkeypatch.setattr(loader_mod, "device_prefetch", crash_after_one)
+    with pytest.raises(Crash):
+        run_finetune(args)
+    ckpt = os.path.join(out, "ckpt")
+    meta = orbax_io.load_progress_meta(ckpt, orbax_io.latest_step(ckpt))
+    assert meta["batch_in_epoch"] == 1 and not meta["epoch_end"]
+
+    # resume on a 2-device mesh (the crashed run used all 8)
+    monkeypatch.setattr(loader_mod, "device_prefetch", orig)
+    args2 = _args(data_dir, cross_json, out,
+                  ["--do_train", "--dataset", "msrvtt", "--resume",
+                   "--dp_size", "2"])
+    got = run_finetune(args2)
+
+    for k in ("R1", "R5", "R10", "MR", "MeanR"):
+        assert got[k] == base[k], (k, got[k], base[k])
+    final = orbax_io.latest_step(ckpt)
+    fmeta = orbax_io.load_progress_meta(ckpt, final)
+    assert final == 3 and fmeta["epoch_end"]
