@@ -122,6 +122,33 @@ harden_cache_writes()
 
 import pytest  # noqa: E402
 
+
+# Collection order: heaviest XLA:CPU materializations FIRST. Every
+# observed jaxlib-0.9.0 materialization segfault (docs/design.md,
+# "Test-gate reliability") struck one of the suite's LARGEST programs at
+# position ~#140+, never early — test_cli_smoke compiles runner-level
+# programs at positions 1-25 and has never crashed, while test_trainer's
+# big pretrain steps crashed three times from the late alphabetical slot
+# (isolating one offender just moved the fault to the next-largest late
+# program). Running the big-program modules first means they materialize
+# while few executables have been created/destroyed, and only small
+# programs (tokenizer/metrics/losses/quant) execute in the vulnerable
+# late-suite window. Stable sort: within-module and remaining
+# alphabetical order are preserved.
+_RUN_FIRST = ("test_trainer", "test_end_to_end_learning",
+              "test_full_parity", "test_eval_pipeline", "test_cli_smoke")
+
+
+def pytest_collection_modifyitems(config, items):
+    rank = {m: i for i, m in enumerate(_RUN_FIRST)}
+
+    def key(item):
+        mod = os.path.basename(item.nodeid.split("::", 1)[0])
+        return rank.get(mod[:-3] if mod.endswith(".py") else mod,
+                        len(_RUN_FIRST))
+
+    items.sort(key=key)
+
 # Debug aid (no-op unless set): re-arm a native SIGABRT backtrace handler
 # before every test — some loaded native library replaces signal handlers
 # after interpreter start, which silences LD_PRELOAD-installed ones.

@@ -746,3 +746,47 @@ def test_elastic_resume_on_smaller_mesh(
     final = orbax_io.latest_step(ckpt)
     fmeta = orbax_io.load_progress_meta(ckpt, final)
     assert final == 3 and fmeta["epoch_end"]
+
+
+
+def test_pretrain_checkpoint_into_finetune(data_dir, cross_json, tmp_path):
+    """The reference's central workflow: pretrain on CHVTT, then
+    fine-tune with --init_model <pretrain pytorch_model.bin.N>
+    (README.md:80-125). The pretrain-format checkpoint carries momentum
+    *_k towers and MoCo queues; a FINETUNE build must load the query
+    towers from it (dropping the pretrain-only extras with a report),
+    and the fine-tune must train."""
+    from hmmc_tpu import factory
+    from hmmc_tpu.cli import to_task_config
+    from hmmc_tpu.config import load_cross_config
+    from hmmc_tpu.runner import run_finetune, run_pretrain
+
+    out_pre = str(tmp_path / "pt2ft_pre")
+    args_pre = _args(data_dir, cross_json, out_pre,
+                     ["--do_pretrain", "--dataset", "bird",
+                      "--contrast_num_negative", "16"])
+    run_pretrain(args_pre)
+    ckpt = os.path.join(out_pre, "pytorch_model.bin.0")
+    assert os.path.isfile(ckpt)
+
+    # factory-level: the pretrained visual proj lands in the finetune
+    # params, and no pretrain-only subtree (projectors, MLM head) leaks
+    import torch
+
+    sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+    args_ft = _args(data_dir, cross_json, str(tmp_path / "pt2ft"),
+                    ["--do_train", "--dataset", "msrvtt",
+                     "--init_model", ckpt])
+    task = to_task_config(args_ft)
+    cross = load_cross_config(task.cross_model)
+    model, variables = factory.build_model(
+        task, cross, vocab_size=49408, init_model_path=ckpt)
+    got = np.asarray(variables["params"]["visual_encoder"]["visual"]["proj"])
+    np.testing.assert_allclose(
+        got, sd["visual_encoder.visual.proj"].numpy(), atol=1e-6)
+    for k in ("t_projector", "v_projector", "v_predictor", "cls"):
+        assert k not in variables["params"]
+
+    # end-to-end: the fine-tune trains from the pretrain checkpoint
+    metrics = run_finetune(args_ft)
+    assert np.isfinite(metrics["R1"])
