@@ -103,6 +103,11 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                         "bf16 carry): halves optimizer-state HBM traffic, "
                         "+2-3% step throughput; off = exact reference "
                         "optimizer state")
+    p.add_argument("--zero_opt", action="store_true",
+                   help="ZeRO-1: shard BertAdam m/v moments over the data "
+                        "axis — optimizer-state HBM drops ~dp-fold per "
+                        "chip; numerics unchanged (the reference "
+                        "replicates optimizer state on every GPU)")
     p.add_argument("--eval_dual_softmax", action="store_true",
                    help="apply the dual-softmax reweighting "
                         "(until_module.py get_dual_matrix) to the eval "
@@ -125,6 +130,10 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                    help="also checkpoint full state every N steps "
                         "(restart-based failure recovery; 0 = per-epoch "
                         "only like the reference)")
+    p.add_argument("--async_save", action="store_true",
+                   help="non-blocking checkpoints: snapshot to host "
+                        "synchronously, serialize+commit on a background "
+                        "thread so train steps overlap the write")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of the first training "
                         "steps into this directory (TensorBoard-viewable)")

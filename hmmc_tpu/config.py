@@ -264,6 +264,12 @@ class TaskConfig:
     # pretrain step throughput on a v5e. Off by default to keep exact
     # reference BertAdam state semantics (modules/optimization.py:120-166).
     optim_bf16_state: bool = False
+    # ZeRO-1: shard the BertAdam m/v moments over the mesh's data axis
+    # (parallel/mesh.zero_opt_shardings). The reference replicates its
+    # optimizer state on every GPU (DDP, main_task_retrieval.py:207);
+    # sharding drops optimizer-state HBM ~dp-fold per chip and runs the
+    # moment update on 1/dp of the elements. Numerics are unchanged.
+    zero_opt: bool = False
     # knowingly-fixed reference quirk (flag-controlled): the reference's
     # temporal attention mask is all-ones even over zero-padded frames
     # (module_cross.py:201-203); True masks padded frames properly

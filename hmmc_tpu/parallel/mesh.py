@@ -127,3 +127,48 @@ def shard_params(mesh: Mesh, params):
     """device_put the param tree with TP/replicated placement."""
     shardings = param_shardings(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def zero_opt_shardings(mesh: Mesh, opt_state):
+    """Pytree of NamedShardings that shards the optimizer moments over the
+    ``data`` axis (ZeRO stage 1).
+
+    The reference replicates its BertAdam m/v on every GPU (DDP semantics,
+    main_task_retrieval.py:207). On TPU the moments are pure per-parameter
+    state with no cross-example coupling, so each leaf's first
+    dp-divisible dimension is sharded over the data axis: optimizer-state
+    HBM drops ~dp-fold and the BertAdam moment update runs on 1/dp of the
+    elements per chip. XLA lowers the constrained update to exactly the
+    ZeRO-1 schedule — sharded m/v update followed by an all-gather of the
+    (parameter-sized) update tensors — from the sharding annotation alone;
+    no hand-written collectives.
+
+    Scalars (step counters) and leaves with no dp-divisible dimension stay
+    replicated. Under tensor parallelism the moment sharding is chosen
+    independently of the param placement (XLA inserts the resharding);
+    correctness is unchanged.
+    """
+    dp = mesh.shape[DATA_AXIS]
+
+    def spec(leaf) -> NamedSharding:
+        shape = np.shape(leaf)
+        if dp > 1:
+            for i, s in enumerate(shape):
+                if s % dp == 0 and s > 0:
+                    names = [None] * len(shape)
+                    names[i] = DATA_AXIS
+                    return NamedSharding(mesh, P(*names))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """device_put the optimizer state with ZeRO-1 placement."""
+    shardings = zero_opt_shardings(mesh, opt_state)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings), \
+        shardings

@@ -25,7 +25,8 @@ from hmmc_tpu.data.registry import DATALOADER_DICT
 from hmmc_tpu.evaluation import Evaluator
 from hmmc_tpu.models.pretrain import MoCoQueues
 from hmmc_tpu.ops import image_ops
-from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch, shard_params
+from hmmc_tpu.parallel import (MeshSpec, make_mesh, shard_batch,
+                               shard_opt_state, shard_params)
 from hmmc_tpu.train import orbax_io
 from hmmc_tpu.train.optimization import build_optimizer
 from hmmc_tpu.train.trainer import (
@@ -92,15 +93,20 @@ def _task_with_resolution(args):
 
 
 
-def _place_restored_state(mesh, state, tp_size: int = 1):
+def _place_restored_state(mesh, state, tp_size: int = 1,
+                          opt_shardings=None):
     """Orbax restores arrays committed to a single device; re-place them on
-    the mesh (replicated; params TP-sharded when tp > 1)."""
+    the mesh (replicated; params TP-sharded when tp > 1; optimizer state
+    ZeRO-sharded when --zero_opt)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     rep = NamedSharding(mesh, PartitionSpec())
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
     if tp_size > 1:
         state = state.replace(params=shard_params(mesh, state.params))
+    if opt_shardings is not None:
+        state = state.replace(opt_state=jax.tree_util.tree_map(
+            jax.device_put, state.opt_state, opt_shardings))
     return state
 
 
@@ -180,21 +186,28 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         params = shard_params(mesh, params)
     state = FinetuneState.create(params, tx,
                                  batch_stats=variables.get("batch_stats"))
+    opt_shardings = None
+    if task.zero_opt:
+        opt_sharded, opt_shardings = shard_opt_state(mesh, state.opt_state)
+        state = state.replace(opt_state=opt_sharded)
     if task.task == "retrieval_VT":
         step_fn = make_finetune_vt_step(
-            model, tx, cross, n_accum=task.gradient_accumulation_steps)
+            model, tx, cross, n_accum=task.gradient_accumulation_steps,
+            opt_shardings=opt_shardings)
     else:
         step_fn = make_finetune_step(
             model, tx, cross, use_frame_fea=task.use_frame_fea,
             n_accum=task.gradient_accumulation_steps,
-            use_frame_mask=task.use_frame_mask)
+            use_frame_mask=task.use_frame_mask,
+            opt_shardings=opt_shardings)
 
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
     start_epoch, resume_skip = _resolve_resume(args, ckpt_dir, log)
     if start_epoch is not None or resume_skip:
         latest = orbax_io.latest_step(ckpt_dir)
         state = orbax_io.restore_state(ckpt_dir, state, latest)
-        state = _place_restored_state(mesh, state, task.tp_size)
+        state = _place_restored_state(mesh, state, task.tp_size,
+                                      opt_shardings=opt_shardings)
     start_epoch = start_epoch or 0
 
     evaluator = Evaluator(model, task, weight_title=cross.weight_title)
@@ -207,6 +220,9 @@ def run_finetune(args, log=None) -> Dict[str, float]:
     def place(batch):
         return shard_batch(mesh, _prepare_finetune_batch(batch))
 
+    writer_ckpt = orbax_io.CheckpointWriter(
+        ckpt_dir, async_save=bool(getattr(args, "async_save", False)))
+
     def save(epoch, batch_in_epoch, epoch_end=False):
         nonlocal last_saved
         meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch,
@@ -215,8 +231,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
             # epoch-end coinciding with a step-save: refresh the meta only
             orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
             return
-        orbax_io.save_state(ckpt_dir, state, global_step)
-        orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+        writer_ckpt.save(global_step, state, meta)
         last_saved = global_step
 
     preempt = PreemptionWatcher().install()
@@ -280,6 +295,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         preempt.uninstall()
         profiler.close()
         writer.close()
+        writer_ckpt.close()
     log.info("best t2v R@1: %.1f", best_r1)
     return best_metrics
 
@@ -355,18 +371,24 @@ def run_pretrain(args, log=None) -> None:
     state = PretrainState.create(variables, tx, queues)
     if pretrain_import:
         state = _apply_pretrain_import(state, pretrain_import, log)
+    mesh = make_mesh(MeshSpec(dp=task.dp_size))
+    opt_shardings = None
+    if task.zero_opt:
+        opt_sharded, opt_shardings = shard_opt_state(mesh, state.opt_state)
+        state = state.replace(opt_state=opt_sharded)
     mask_id, pad_id, cls_id = _mlm_token_ids(task, tokenizer)
     step_fn = make_pretrain_step(
         model, tx, cross, task, mask_token_id=mask_id, pad_token_id=pad_id,
-        cls_token_id=cls_id, n_accum=task.gradient_accumulation_steps)
+        cls_token_id=cls_id, n_accum=task.gradient_accumulation_steps,
+        opt_shardings=opt_shardings)
 
-    mesh = make_mesh(MeshSpec(dp=task.dp_size))
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
     start_epoch, resume_skip = _resolve_resume(args, ckpt_dir, log)
     if start_epoch is not None or resume_skip:
         latest = orbax_io.latest_step(ckpt_dir)
         state = orbax_io.restore_state(ckpt_dir, state, latest)
-        state = _place_restored_state(mesh, state)
+        state = _place_restored_state(mesh, state,
+                                      opt_shardings=opt_shardings)
     start_epoch = start_epoch or 0
 
     from hmmc_tpu.data.loader import device_prefetch
@@ -381,6 +403,9 @@ def run_pretrain(args, log=None) -> None:
     save_steps = getattr(args, "save_steps", 0)
     last_saved = None
 
+    writer_ckpt = orbax_io.CheckpointWriter(
+        ckpt_dir, async_save=bool(getattr(args, "async_save", False)))
+
     def save(epoch, batch_in_epoch, epoch_end=False):
         nonlocal last_saved
         meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch,
@@ -388,8 +413,7 @@ def run_pretrain(args, log=None) -> None:
         if last_saved == global_step:
             orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
             return
-        orbax_io.save_state(ckpt_dir, state, global_step)
-        orbax_io.save_progress_meta(ckpt_dir, global_step, meta)
+        writer_ckpt.save(global_step, state, meta)
         last_saved = global_step
 
     preempt = PreemptionWatcher().install()
@@ -472,6 +496,7 @@ def run_pretrain(args, log=None) -> None:
     finally:
         preempt.uninstall()
         writer.close()
+        writer_ckpt.close()
 
 
 def _dataset_video_ids(dataset):

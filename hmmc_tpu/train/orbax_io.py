@@ -35,6 +35,60 @@ def save_state(directory: str, state: Any, step: int,
         mgr.wait_until_finished()
 
 
+class CheckpointWriter:
+    """Long-lived checkpoint writer with optional non-blocking saves.
+
+    ``save_state`` opens a manager per call and blocks until the write is
+    durable — correct, but at large model sizes the serialization + disk
+    write sits on the training loop's critical path (the reference blocks
+    the loop in ``torch.save`` too, main_task_retrieval.py:215-222).
+    With ``async_save=True`` the device->host snapshot is taken
+    synchronously (a REAL copy — the training step donates its input
+    buffers, so the state must be materialized off-device before the
+    next step reuses them; on the CPU backend ``np.array`` is what
+    forces the copy, since host "transfers" can alias) and the
+    serialization/commit runs on orbax's background thread, overlapping
+    the next train steps. ``close()`` drains outstanding commits.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = False):
+        self._mgr = _manager(directory, max_to_keep)
+        self._dir = directory
+        self._async = async_save
+
+    def save(self, step: int, state: Any,
+             meta: Optional[dict] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        if self._async:
+            snapshot = jax.tree_util.tree_map(
+                lambda a: np.array(a), state)
+        else:
+            snapshot = state
+        self._mgr.save(step, args=ocp.args.StandardSave(snapshot))
+        if not self._async:
+            self._mgr.wait_until_finished()
+        if meta is not None:
+            # the sidecar may exist for an uncommitted step after a crash
+            # mid-async-save; readers key off latest_step(), which only
+            # reports committed steps, so a stray meta file is inert
+            save_progress_meta(self._dir, step, meta)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def latest_step(directory: str) -> Optional[int]:
     import orbax.checkpoint as ocp
 

@@ -121,6 +121,15 @@ def _accumulate(loss_fn: Callable, params, batch: Dict, n_accum: int,
     return grads, aux
 
 
+def _constrain_opt(opt_state, opt_shardings):
+    """ZeRO-1: pin the updated optimizer state to its data-axis sharding
+    (parallel/mesh.zero_opt_shardings) so it stays sharded across donated
+    steps instead of being replicated by XLA's propagation."""
+    if opt_shardings is None:
+        return opt_state
+    return jax.lax.with_sharding_constraint(opt_state, opt_shardings)
+
+
 # ---------------------------------------------------------------------------
 # fine-tune step (BirdModel)
 # ---------------------------------------------------------------------------
@@ -132,6 +141,7 @@ def make_finetune_step(
     use_frame_fea: bool = True,
     n_accum: int = 1,
     use_frame_mask: bool = False,
+    opt_shardings: Any = None,
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics). batch keys:
     query_ids [B,L] int32, query_mask [B,L], video [B,F,H,W,3] float,
@@ -171,6 +181,7 @@ def make_finetune_step(
             grads, aux = _accumulate(loss_fn, state.params, batch, n_accum)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
+            opt_state = _constrain_opt(opt_state, opt_shardings)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 params=params, opt_state=opt_state, step=state.step + 1)
@@ -216,6 +227,7 @@ def make_finetune_step(
             grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
             aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = _constrain_opt(opt_state, opt_shardings)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=params, opt_state=opt_state, batch_stats=bstats,
@@ -232,6 +244,7 @@ def make_finetune_vt_step(
     tx: optax.GradientTransformation,
     cross_config: CrossConfig,
     n_accum: int = 1,
+    opt_shardings: Any = None,
 ) -> Callable:
     """retrieval_VT training step (BirdModel_VT.forward,
     modeling.py:744-785): the video branch is commented out in the
@@ -271,6 +284,7 @@ def make_finetune_vt_step(
 
         grads, aux = _accumulate(lf, state.params, batch, n_accum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = _constrain_opt(opt_state, opt_shardings)
         params = optax.apply_updates(state.params, updates)
         return (state.replace(params=params, opt_state=opt_state,
                               step=state.step + 1), aux)
@@ -291,6 +305,7 @@ def make_pretrain_step(
     pad_token_id: int,
     cls_token_id: int,
     n_accum: int = 1,
+    opt_shardings: Any = None,
 ) -> Callable:
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
@@ -463,6 +478,7 @@ def make_pretrain_step(
             aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state = _constrain_opt(opt_state, opt_shardings)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=params, params_k=params_k, batch_stats=batch_stats,

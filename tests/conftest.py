@@ -71,14 +71,26 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def _host_fingerprint() -> str:
-    """Stable per-machine tag from the CPU feature flags (the exact axis
-    XLA:CPU AOT results are specialized on)."""
+    """Stable per-machine tag from the CPU feature flags AND the CPU
+    model identity. XLA:CPU AOT results are specialized on both axes:
+    the ISA features come from cpuid flags, but tuning features like
+    ``prefer-no-scatter``/``prefer-no-gather`` are chosen from the CPU
+    family/model — two VMs with identical `flags` lines but different
+    microarchitectures produced cross-loaded AOT entries with
+    machine-feature-mismatch warnings (observed 2026-08-19)."""
     try:
+        feats, ident = "", []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                key = line.split(":", 1)[0].strip()
+                if key == "flags" and not feats:
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+                elif key in ("vendor_id", "cpu family", "model",
+                             "model name", "stepping") and len(ident) < 5:
+                    ident.append(line.strip())
+        if feats:
+            return hashlib.sha1(
+                (feats + "|" + "|".join(ident)).encode()).hexdigest()[:12]
     except OSError:
         pass
     return platform.machine() or "unknown"
@@ -146,7 +158,15 @@ _RUN_FIRST = ("test_trainer", "test_end_to_end_learning",
               # materializes before the cutoff
               "test_resnet_import", "test_resnet", "test_models",
               "test_torch_parity", "test_factory_import",
-              "test_optimization")
+              "test_optimization",
+              # the last compile-heavy NON-model modules: the fused
+              # batched-RandAugment program and the Pallas attention
+              # kernels + custom_vjp. Left in the tail, they were the
+              # next-largest late materializations and took the fault in
+              # turn (test_randaugment's fresh backend_compile_and_load
+              # at ~#140, twice on 2026-08-19) — the tail must compile
+              # NOTHING but trivial op-level programs.
+              "test_randaugment", "test_pallas_attention")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -171,6 +171,31 @@ def test_run_finetune_bf16_optim_state(data_dir, cross_json, tmp_path):
         {l.dtype for l in moments})
 
 
+def test_run_finetune_zero_opt_async_save(data_dir, cross_json, tmp_path):
+    """--zero_opt + --async_save through the full runner: trains with
+    ZeRO-1 data-axis-sharded BertAdam moments and non-blocking
+    checkpoints, the Orbax checkpoint is committed + restorable, and
+    --resume re-places the restored moments onto their ZeRO shardings."""
+    from hmmc_tpu.runner import run_finetune
+    from hmmc_tpu.train import orbax_io
+
+    out = str(tmp_path / "zero")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt", "--zero_opt",
+                  "--async_save"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    ckpt_dir = os.path.join(out, "ckpt")
+    step = orbax_io.latest_step(ckpt_dir)
+    assert step is not None, "async save never committed a checkpoint"
+    # resume path: restore + ZeRO re-placement must compose
+    args2 = _args(data_dir, cross_json, out,
+                  ["--do_train", "--dataset", "msrvtt", "--zero_opt",
+                   "--async_save", "--resume", "--epochs", "2"])
+    metrics2 = run_finetune(args2)
+    assert np.isfinite(metrics2["R1"])
+
+
 def test_reference_checkpoint_reimport(data_dir, cross_json, tmp_path):
     """Exported torch checkpoint loads back through --init_model."""
     from hmmc_tpu.runner import run_eval, run_finetune

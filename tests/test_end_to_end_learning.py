@@ -16,7 +16,8 @@ from hmmc_tpu.config import ClipArch, CrossConfig
 from hmmc_tpu.losses import loose_similarity
 from hmmc_tpu.metrics import compute_metrics
 from hmmc_tpu.models.retrieval import BirdModel
-from hmmc_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from hmmc_tpu.parallel import (MeshSpec, make_mesh, shard_batch,
+                               shard_opt_state)
 from hmmc_tpu.train.optimization import build_optimizer
 from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
 
@@ -105,3 +106,58 @@ def test_overfit_drives_r1_to_100():
     sim = np.asarray(loose_similarity(q, v, jnp.float32(100.0)))
     metrics = compute_metrics(sim)
     assert metrics["R1"] == 100.0, (metrics, float(m["loss"]))
+
+
+def test_zero1_opt_sharding_invariance_and_memory():
+    """--zero_opt (ZeRO-1): BertAdam moments sharded over the data axis
+    must (1) actually STAY sharded across donated steps — each device
+    holds 1/dp of every dp-divisible moment leaf — and (2) leave the
+    training trajectory unchanged vs the replicated baseline up to
+    fp32 reduction-order noise. The reference replicates optimizer state on every GPU
+    (DDP, main_task_retrieval.py:207); this is a TPU-side capability
+    with no reference counterpart."""
+    from jax.sharding import PartitionSpec
+
+    model, batch, params, tx = _setup()
+    mesh = make_mesh(MeshSpec(dp=8))
+    db = shard_batch(mesh, dict(batch))
+
+    step_rep = make_finetune_step(model, tx, TINY_CROSS)
+    st_rep = FinetuneState.create(
+        jax.tree_util.tree_map(jnp.copy, params), tx)
+
+    st_z = FinetuneState.create(
+        jax.tree_util.tree_map(jnp.copy, params), tx)
+    opt_sharded, oshard = shard_opt_state(mesh, st_z.opt_state)
+    st_z = st_z.replace(opt_state=opt_sharded)
+    step_z = make_finetune_step(model, tx, TINY_CROSS,
+                                opt_shardings=oshard)
+
+    for _ in range(3):
+        st_rep, m_rep = step_rep(st_rep, db)
+        float(m_rep["loss"])  # bound async dispatch (see above)
+        st_z, m_z = step_z(st_z, db)
+        float(m_z["loss"])
+
+    # (1) the moments are still dp-sharded after 3 donated steps
+    m_leaf = st_z.opt_state[1].m["text_encoder"]["clip_text"][
+        "token_embedding"]
+    spec = m_leaf.sharding.spec
+    assert spec != PartitionSpec(), "moment leaf lost its ZeRO sharding"
+    shard = m_leaf.addressable_shards[0].data
+    assert shard.shape[0] * 8 == m_leaf.shape[0], (shard.shape,
+                                                   m_leaf.shape)
+    # scalars (schedule step) stay replicated
+    assert st_z.opt_state[1].step.sharding.spec == PartitionSpec()
+
+    # (2) same trajectory up to fp32 reduction-order noise: the ZeRO
+    # schedule computes the moment update sharded and all-gathers the
+    # (parameter-sized) updates, so per-element op order differs from
+    # the replicated program — measured worst case 1/49152 elements at
+    # 2.7e-7 abs / 7.7e-6 rel after 3 steps
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-6),
+        st_rep.params, st_z.params)
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_z["loss"]),
+                               rtol=1e-6)

@@ -356,3 +356,58 @@ def test_steps_run_when_embed_dim_differs_from_temporal_hidden():
     segfaulted twice in-suite (compile path AND persistent-cache
     deserialize path) — see _run_isolated_scenario."""
     _run_isolated_scenario("wide_steps", "wide_steps OK")
+
+
+def test_async_checkpoint_writer_snapshots_before_donation(tmp_path):
+    """CheckpointWriter(async_save=True) must snapshot the state to host
+    BEFORE returning: the training loop donates the state buffers to the
+    next step immediately after save(), so a by-reference async save
+    would serialize reused memory. Overwrite the arrays through a
+    donating jit right after save() and verify the restored checkpoint
+    holds the pre-overwrite values (plus the progress-meta sidecar)."""
+    from hmmc_tpu.train import orbax_io
+
+    state = {
+        "w": jnp.arange(128, dtype=jnp.float32).reshape(8, 16),
+        "m": jnp.full((4, 4), 3.25, jnp.float32),
+        "step": jnp.int32(7),
+    }
+    expect = jax.tree_util.tree_map(np.array, state)
+
+    clobber = jax.jit(
+        lambda s: jax.tree_util.tree_map(lambda a: a * 0 - 1, s),
+        donate_argnums=0)
+
+    d = str(tmp_path / "ckpt")
+    with orbax_io.CheckpointWriter(d, async_save=True) as w:
+        w.save(3, state, meta={"epoch": 1, "batch_in_epoch": 2})
+        clobber(state)  # reuses the donated buffers while the write runs
+
+    assert orbax_io.latest_step(d) == 3
+    got = orbax_io.restore_state(d, expect, 3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        got, expect)
+    meta = orbax_io.load_progress_meta(d, 3)
+    assert meta == {"epoch": 1, "batch_in_epoch": 2}
+
+
+def test_async_checkpoint_writer_sequential_saves(tmp_path):
+    """Back-to-back async saves retain max_to_keep steps, each restorable
+    to its own values (the writer is one long-lived manager, unlike
+    save_state's per-call manager)."""
+    from hmmc_tpu.train import orbax_io
+
+    d = str(tmp_path / "ckpt")
+    vals = {}
+    with orbax_io.CheckpointWriter(d, max_to_keep=2,
+                                   async_save=True) as w:
+        for s in (1, 2, 3):
+            st = {"w": jnp.full((8,), float(s))}
+            vals[s] = jax.tree_util.tree_map(np.array, st)
+            w.save(s, st)
+
+    assert orbax_io.latest_step(d) == 3
+    for s in (2, 3):
+        got = orbax_io.restore_state(d, vals[s], s)
+        np.testing.assert_array_equal(np.asarray(got["w"]), vals[s]["w"])

@@ -12,6 +12,10 @@ weights into them, and compares:
   4. CrossEn / Dual_CrossEn / MILNCE / MaxMargin losses (until_module.py)
   5. metrics: t2v + v2t, single- and multi-sentence     (metrics.py)
   6. BertAdam: 4 update steps through the 6 param groups (optimization.py)
+  7. BirdModel / BirdModel_VT fine-tune steps: loss AND the full
+     parameter-gradient tree vs the reference's autograd (modeling.py:682-785)
+  8. ONE full MoCo pretrain step through BirdPreTrainedModel.forward at
+     tiny and flagship ViT-B/32 geometry               (modeling.py:334-436)
 
 This is the strongest parity evidence available without data: the
 comparison target is the reference's executed code, not a re-derivation.
@@ -556,6 +560,244 @@ def check_resnet_tower(mcross, tmp, check):
     check("RN video feature (train BN)", np.asarray(v2), tv2.numpy())
 
 
+def check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
+                        model, params, cross, geom):
+    """ONE fine-tune training step's loss AND full parameter-gradient tree
+    through the reference's OWN composed forwards:
+
+      - BirdModel.forward (modeling.py:682-722) with use_frame_fea=True, so
+        both the VTM symmetric CrossEn and the per-frame FTM loop fire;
+      - BirdModel_VT.forward (modeling.py:744-785) — the reference reads the
+        UNDEFINED ``self.weight_title`` at modeling.py:773 (latent crash,
+        see PARITY.md "fixed gaps"); it is set here so the reference code
+        can execute at all, to the same value our CrossConfig supplies.
+
+    Gradients are compared tensor-by-tensor: reference ``loss.backward()``
+    grads vs our jitted ``make_finetune_step`` with ``optax.scale(-1)``
+    (so params_before - params_after IS the raw gradient), exported through
+    the same flax->torch name/layout map the checkpoints use. This is
+    end-to-end evidence that the whole differentiated computation — towers,
+    normalize-then-mean quirk, loose_similarity, loss composition — matches
+    the reference's autograd, not just its forward values.
+
+    Tolerances are SELF-CALIBRATING: fp32 backward noise is amplified
+    ~100x by the exp(logit_scale) factor inside the softmax losses, so a
+    fixed atol is either meaninglessly loose or fails on rounding noise.
+    Instead the reference itself is run TWICE — float64 (ground truth)
+    and float32 — and each tensor's fp32 rounding envelope
+    ``|ref32 - ref64|`` becomes its tolerance: our fp32 grads must sit
+    within a small multiple of the reference's OWN fp32 noise floor from
+    the f64 truth. A semantic mismatch would exceed that floor by orders
+    of magnitude; a different-but-equivalent reduction order cannot."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hmmc_tpu.train.orbax_io import save_reference_checkpoint
+    from hmmc_tpu.train.trainer import (FinetuneState, make_finetune_step,
+                                        make_finetune_vt_step)
+
+    g = geom
+    EMB, CTX, VOCAB, RES, F, B = (g["emb"], g["ctx"], g["vocab"], g["res"],
+                                  g["frames"], g["batch"])
+    # the caller's params are exactly what sd_full holds (it was exported
+    # from them), so both engines start from identical weights
+    params0 = jax.tree_util.tree_map(np.array, params)
+
+    # ---- reference models, single-process semantics
+    task_ns = types.SimpleNamespace(
+        local_rank=0, rank=0, use_temp=True, language="english",
+        pretrained_text="unused", top_frames=1, use_frame_fea=True,
+        n_display=10 ** 9, logdir="")
+    cc = mcross.CrossConfig(vocab_size_or_config_json_file=0)
+    for k, v in dict(
+            temporal_hidden_size=EMB, temporal_attention_heads=g["theads"],
+            temporal_hidden_layers=g["temporal_layers"],
+            max_position_embeddings=8, chinese_hidden_size=32,
+            weight_VTM_finetune=0.85, weight_FTM_finetune=0.15,
+            pretrained_clip_name=clip_path).items():
+        setattr(cc, k, v)
+    rmod.dist_collect = lambda x: x
+
+    # the reference's LayerNorm subclass force-casts its INPUT to fp32
+    # (module_clip.py:222 — there to undo fp16 weight storage, which is
+    # already disabled via convert_weights above). Under a float64 model
+    # torch raises "mixed dtype"; a dtype-preserving F.layer_norm is
+    # bit-identical on the fp32 path (input is already fp32) and correct
+    # at f64.
+    mclip_mod = sys.modules["modules.module_clip"]
+
+    def _ln_native_dtype(self, x):
+        return torch.nn.functional.layer_norm(
+            x, self.normalized_shape, self.weight, self.bias, self.eps)
+
+    mclip_mod.LayerNorm.forward = _ln_native_dtype
+
+    def build_ref(cls, dtype=torch.float32):
+        rm = cls(cc, task_ns).to(dtype)
+        # TextEncoder freezes self.dtype at ctor time as a plain attribute
+        # (module_cross.py:256) so .to(float64) leaves it fp32 and
+        # encode_text's .type(self.dtype) re-casts activations mid-model;
+        # re-pin it (VisualEncoder's dtype is a live property, :219-220)
+        rm.text_encoder.dtype = dtype
+        load_sd = dict(sd_full)
+        rm.text_encoder.logit_scale = load_sd.pop(
+            "text_encoder.logit_scale").clone().to(dtype)
+        # fp32 checkpoint values widen exactly into a float64 model: both
+        # precisions start from bit-identical weights
+        missing, unexpected = rm.load_state_dict(load_sd, strict=False)
+        assert not unexpected and not missing, (missing, unexpected)
+        return rm.train()
+
+    rng = np.random.default_rng(23)
+    ids = rng.integers(2, VOCAB - 2, size=(B, CTX)).astype(np.int64)
+    ids[:, 0] = 1
+    for r in range(B):
+        ids[r, 5 + r] = VOCAB - 1
+        ids[r, 6 + r:] = 0
+    mask = (ids > 0).astype(np.int64)
+    mask[:, 0] = 1
+    video = rng.normal(size=(B, F, 3, RES, RES)).astype(np.float32)
+
+    title = rng.integers(2, VOCAB - 2, size=(B, CTX)).astype(np.int64)
+    title[:, 0] = 1
+    for r in range(B):
+        title[r, 4 + r] = VOCAB - 1
+        title[r, 5 + r:] = 0
+    tmask = (title > 0).astype(np.int64)
+    tmask[:, 0] = 1
+
+    def ref_grads(rm, loss):
+        loss.backward()
+        return {n: p.grad.detach().to(torch.float64).numpy()
+                for n, p in rm.named_parameters() if p.grad is not None}
+
+    def our_grads(step_fn, batch):
+        # fresh device copies: the jitted step donates its input state
+        p_dev = jax.tree_util.tree_map(jnp.asarray, params0)
+        state = FinetuneState.create(p_dev, optax.scale(-1.0))
+        new_state, metrics = step_fn(state, batch)
+        grads = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a, np.float64) - np.asarray(b,
+                                                                np.float64),
+            params0, new_state.params)
+        gpath = os.path.join(tmp, "ft_grads.bin")
+        save_reference_checkpoint(gpath, grads, language="english")
+        gsd = torch.load(gpath, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in gsd.items()}, metrics
+
+    def compare_grads(tag, ours, ref32, ref64, floor=2e-6, mult=8.0):
+        # mult=8: our batched/scanned reductions (e.g. the FTM frame loop
+        # runs as one einsum, the reference as a Python per-frame loop)
+        # have a legitimately different fp32 rounding envelope — measured
+        # worst 5.2x the reference's own noise on the composed BirdModel
+        # step (2026-08-19); a semantic mismatch shows up as 100-1000x.
+        # per-tensor: our fp32 grad's distance from the f64 truth must sit
+        # within mult x the reference's OWN fp32 rounding envelope (plus a
+        # tiny absolute floor for tensors whose envelope is ~0)
+        worst, wname, wdiff, wnoise = 0.0, "", 0.0, 0.0
+        for n, g64 in ref64.items():
+            assert n in ours, f"{n} missing from exported grads"
+            g64 = np.asarray(g64, np.float64)
+            diff = float(np.max(np.abs(
+                np.asarray(ours[n], np.float64) - g64)))
+            noise = float(np.max(np.abs(
+                np.asarray(ref32[n], np.float64) - g64)))
+            allowed = max(mult * noise, floor)
+            if diff / allowed > worst:
+                worst, wname, wdiff, wnoise = diff / allowed, n, diff, noise
+        check(f"{tag} grads within {mult:g}x the reference's own fp32 "
+              f"noise of the f64 truth ({len(ref64)} tensors; "
+              f"worst={wname}: ours {wdiff:.2e}, ref-fp32 noise "
+              f"{wnoise:.2e}; value is the ratio)", worst, 0.0, 1.0)
+
+    def loss_tol(ref32_loss, ref64_loss):
+        # 8x for the same reduction-order reason as compare_grads; the
+        # 2e-5 absolute floor covers the case where the reference's own
+        # fp32-vs-f64 gap is unusually tight (measured 1.5e-6 on the
+        # BirdModel step while our equally-valid reduction order lands
+        # 1.2e-5 from the f64 truth — the loss sums exp(logit_scale)=100-
+        # amplified softmax terms, so ~1e-5 absolute IS the fp32 envelope
+        # for an O(1) scalar here; a semantic mismatch shows as >=1e-3)
+        return max(8.0 * abs(float(ref32_loss) - float(ref64_loss)), 2e-5)
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def f64_truth_mode():
+        """The reference hard-casts its encoder outputs to fp32
+        (``x.float()``, module_cross.py:236-237,302-305 — there to undo
+        fp16 weight storage, which is already disabled here). Under the
+        float64 ground-truth model that cast truncates mid-model and then
+        crashes the f32xf64 matmul at modeling.py:223. Make ``.float()``
+        dtype-PRESERVING for floating tensors for the duration of the f64
+        forward/backward only; the fp32 run is untouched (there the cast
+        is a no-op anyway, so both precisions execute the same math)."""
+        orig = torch.Tensor.float
+
+        def _keep(self, *a, **k):
+            return self if self.is_floating_point() else orig(self, *a,
+                                                              **k)
+
+        torch.Tensor.float = _keep
+        try:
+            yield
+        finally:
+            torch.Tensor.float = orig
+
+    # ---- BirdModel: VTM + FTM composed step (fp32 + f64 ground truth)
+    rm = build_ref(rmod.BirdModel)
+    ref_loss = rm(torch.tensor(ids), torch.tensor(mask),
+                  torch.tensor(video), F, None, 1)
+    rgrads = ref_grads(rm, ref_loss)
+    with f64_truth_mode():
+        rm64 = build_ref(rmod.BirdModel, torch.float64)
+        ref_loss64 = rm64(torch.tensor(ids), torch.tensor(mask),
+                          torch.tensor(video).double(), F, None, 1)
+        rgrads64 = ref_grads(rm64, ref_loss64)
+    step_fn = make_finetune_step(model, optax.scale(-1.0), cross,
+                                 use_frame_fea=True)
+    batch = {"query_ids": jnp.asarray(ids.astype(np.int32)),
+             "query_mask": jnp.asarray(mask.astype(np.int32)),
+             "video": jnp.asarray(video.transpose(0, 1, 3, 4, 2))}
+    ograds, metrics = our_grads(step_fn, batch)
+    check("BirdModel.forward loss (vs f64 truth, 8x ref fp32 noise, 2e-5 floor)",
+          float(metrics["loss"]), float(ref_loss64),
+          loss_tol(ref_loss, ref_loss64))
+    compare_grads("BirdModel.forward", ograds, rgrads, rgrads64)
+
+    # ---- BirdModel_VT: title step (weight_title repaired on both sides)
+    rm_vt = build_ref(rmod.BirdModel_VT)
+    rm_vt.weight_title = cross.weight_title  # undefined in the reference
+    ref_loss_vt = rm_vt(torch.tensor(ids), torch.tensor(mask),
+                        torch.tensor(video), F, torch.tensor(title),
+                        torch.tensor(tmask), None, 1)
+    rgrads_vt = ref_grads(rm_vt, ref_loss_vt)
+    with f64_truth_mode():
+        rm_vt64 = build_ref(rmod.BirdModel_VT, torch.float64)
+        rm_vt64.weight_title = cross.weight_title
+        ref_loss_vt64 = rm_vt64(torch.tensor(ids), torch.tensor(mask),
+                                torch.tensor(video).double(), F,
+                                torch.tensor(title), torch.tensor(tmask),
+                                None, 1)
+        rgrads_vt64 = ref_grads(rm_vt64, ref_loss_vt64)
+    vt_step = make_finetune_vt_step(model, optax.scale(-1.0), cross)
+    batch_vt = dict(batch, title_ids=jnp.asarray(title.astype(np.int32)),
+                    title_mask=jnp.asarray(tmask.astype(np.int32)))
+    ograds_vt, metrics_vt = our_grads(vt_step, batch_vt)
+    check("BirdModel_VT.forward loss (vs f64 truth, 8x ref fp32 noise, 2e-5 floor)",
+          float(metrics_vt["loss"]), float(ref_loss_vt64),
+          loss_tol(ref_loss_vt, ref_loss_vt64))
+    # the video tower gets NO grad from the VT loss on either side: the
+    # reference's video terms are commented out (modeling.py:760-768)
+    vt_visual = [n for n in rgrads_vt64 if n.startswith("visual_encoder.")]
+    check("BirdModel_VT visual grads absent (reference comments the "
+          "video loss out)", float(len(vt_visual)), 0.0, 0.5)
+    compare_grads("BirdModel_VT.forward", ograds_vt, rgrads_vt, rgrads_vt64)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reference", default="/root/reference")
@@ -806,6 +1048,13 @@ def main():
     check("BertAdam 4-step trajectory", worst, 0.0, 3e-5)
 
     import modules.modeling as rmod
+
+    print("[full BirdModel / BirdModel_VT fine-tune step — loss + grads "
+          "through the reference's own forward/backward]")
+    ft_geom = dict(emb=EMB, ctx=CTX, vocab=VOCAB, res=RES, frames=F,
+                   batch=B, theads=2, temporal_layers=2)
+    check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
+                        model, params, cross, ft_geom)
 
     print("[full BirdPreTrainedModel MoCo step — executed side-by-side]")
     tiny_geom = dict(emb=32, res=32, vlayers=2, w=64, patch=16, ctx=16,
