@@ -26,6 +26,7 @@ comparison target is the reference's executed code, not a re-derivation.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import importlib.machinery
 import importlib.util
 import logging
@@ -262,6 +263,9 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
     mask0 = jnp.ones((1, g["ctx"]), jnp.int32)
     vid0 = jnp.zeros((1, g["frames"], g["res"], g["res"], 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(21), ids0, mask0, vid0)
+    # host snapshot: the jitted steps donate their state, so the gradient
+    # run below needs a fresh, still-valid copy of the initial variables
+    variables_host = jax.tree_util.tree_map(np.array, variables)
     tx = optax.set_to_zero()  # isolate the step from optimizer choice
     queues = MoCoQueues.create(jax.random.PRNGKey(7), g["emb"], g["K"],
                                g["frames"])
@@ -317,43 +321,7 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
     # single-process semantics + CPU execution for the reference engine
     rmod.dist_collect = lambda x: x
     torch.Tensor.cuda = lambda self, *a, **k: self
-    orig_tok = rmod.ClipTokenizer
-    rmod.ClipTokenizer = _StubTok
-    try:
-        rm = rmod.BirdPreTrainedModel(cc, task_ns)
-    finally:
-        rmod.ClipTokenizer = orig_tok
-    if g["emb"] != 512:
-        # reference quirk: MLP in/out dims are HARD-CODED to 512
-        # (modeling.py:789) — it only works because temporal_hidden_size
-        # is 512 in every shipped config. At tiny geometry, swap in
-        # correctly-sized instances of the reference's own MLP class
-        # post-construction (and rebuild model_pairs so the momentum EMA
-        # sees them); the flagship geometry runs the ctor untouched.
-        for name in ("t_projector", "t_projector_k", "v_projector",
-                     "v_projector_k", "v_predictor"):
-            nl = 2
-            setattr(rm, name, torch.nn.SyncBatchNorm.convert_sync_batchnorm(
-                rmod.MLP(in_dim=g["emb"], inner_dim=4096, out_dim=g["emb"],
-                         num_layers=nl)))
-        rm.model_pairs = [
-            [rm.visual_encoder, rm.visual_encoder_k],
-            [rm.text_encoder, rm.text_encoder_k],
-            [rm.v_projector, rm.v_projector_k],
-            [rm.t_projector, rm.t_projector_k]]
-    # logit_scale is a plain tensor attribute on the reference TextEncoder
-    # (module_cross.py:250 deepcopies it from the CLIP state dict) — not a
-    # registered param/buffer, so it must bypass load_state_dict
-    load_sd = dict(sd_before)
-    for enc in ("text_encoder", "text_encoder_k"):
-        ls = load_sd.pop(f"{enc}.logit_scale", None)
-        if ls is not None:
-            getattr(rm, enc).logit_scale = ls.clone().float()
-    missing, unexpected = rm.load_state_dict(load_sd, strict=False)
-    benign = {"cls.decoder.bias"}  # tied twin of the loaded cls.bias
-    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
-    assert set(missing) <= benign, f"missing keys: {missing[:5]}"
-    rm = rm.float().train()
+    _patch_ref_layernorm()
 
     def ref_fixed_mask(input_ids, vocab_size, device, targets=None,
                        masked_indices=None, probability_matrix=None):
@@ -367,7 +335,59 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
             return input_ids, targets
         return input_ids
 
-    rm.mask = ref_fixed_mask
+    def build_ref(dtype=torch.float32):
+        orig_tok = rmod.ClipTokenizer
+        rmod.ClipTokenizer = _StubTok
+        try:
+            rm = rmod.BirdPreTrainedModel(cc, task_ns)
+        finally:
+            rmod.ClipTokenizer = orig_tok
+        if g["emb"] != 512:
+            # reference quirk: MLP in/out dims are HARD-CODED to 512
+            # (modeling.py:789) — it only works because
+            # temporal_hidden_size is 512 in every shipped config. At tiny
+            # geometry, swap in correctly-sized instances of the
+            # reference's own MLP class post-construction (and rebuild
+            # model_pairs so the momentum EMA sees them); the flagship
+            # geometry runs the ctor untouched.
+            for name in ("t_projector", "t_projector_k", "v_projector",
+                         "v_projector_k", "v_predictor"):
+                nl = 2
+                setattr(rm,
+                        name, torch.nn.SyncBatchNorm.convert_sync_batchnorm(
+                            rmod.MLP(in_dim=g["emb"], inner_dim=4096,
+                                     out_dim=g["emb"], num_layers=nl)))
+            rm.model_pairs = [
+                [rm.visual_encoder, rm.visual_encoder_k],
+                [rm.text_encoder, rm.text_encoder_k],
+                [rm.v_projector, rm.v_projector_k],
+                [rm.t_projector, rm.t_projector_k]]
+        rm = rm.to(dtype)
+        # TextEncoder freezes self.dtype at ctor time as a plain attribute
+        # (module_cross.py:256) so .to(float64) leaves it fp32 and
+        # encode_text's .type(self.dtype) re-casts activations mid-model;
+        # re-pin it on BOTH text towers (VisualEncoder's dtype is a live
+        # property, :219-220)
+        rm.text_encoder.dtype = dtype
+        rm.text_encoder_k.dtype = dtype
+        # logit_scale is a plain tensor attribute on the reference
+        # TextEncoder (module_cross.py:250 deepcopies it from the CLIP
+        # state dict) — not a registered param/buffer, so it must bypass
+        # load_state_dict. fp32 checkpoint values widen exactly into a
+        # float64 model: both precisions start from bit-identical weights.
+        load_sd = dict(sd_before)
+        for enc in ("text_encoder", "text_encoder_k"):
+            ls = load_sd.pop(f"{enc}.logit_scale", None)
+            if ls is not None:
+                getattr(rm, enc).logit_scale = ls.clone().to(dtype)
+        missing, unexpected = rm.load_state_dict(load_sd, strict=False)
+        benign = {"cls.decoder.bias"}  # tied twin of the loaded cls.bias
+        assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+        assert set(missing) <= benign, f"missing keys: {missing[:5]}"
+        rm.mask = ref_fixed_mask
+        return rm.train()
+
+    rm = build_ref()
     rec = {}
 
     def record(name, fn):
@@ -468,6 +488,63 @@ def check_pretrain_full(rmod, mcross, tmp, check, geom, jit, tag):
     for name, d in worst.items():
         check(f"{tag} {name}", d, 0.0, tol)
 
+    if not g.get("grads", True):
+        return
+
+    # ---- gradient parity: the SAME composed MoCo step differentiated,
+    # vs the reference's autograd through BirdPreTrainedModel.forward.
+    # Our grads via optax.scale(-1): params_before - params_after IS the
+    # raw gradient. The EMA'd key towers still see the PRE-update query
+    # params (one_micro EMAs before tx.update fires, exactly like the
+    # reference's no_grad momentum update at modeling.py:368-372), so the
+    # grad run's MoCo state evolves identically to the zero-update run.
+    state_g = PretrainState.create(
+        jax.tree_util.tree_map(jnp.asarray, variables_host),
+        optax.scale(-1.0),
+        MoCoQueues.create(jax.random.PRNGKey(7), g["emb"], g["K"],
+                          g["frames"]))
+    step_g = make_pretrain_step(model, optax.scale(-1.0), cross, task,
+                                mask_token_id=MASKID, pad_token_id=PAD,
+                                cls_token_id=CLS)
+    with contextlib.nullcontext() if jit else jax.disable_jit():
+        new_g, _ = step_g(state_g, batch, jax.random.PRNGKey(0))
+    grads = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a, np.float64) - np.asarray(b, np.float64),
+        variables_host["params"],
+        jax.tree_util.tree_map(np.asarray, new_g.params))
+    gpath = os.path.join(tmp, f"pretrain_grads_{ftag}.bin")
+    # new_g rides along only to give the exporter the key-tower/BN/queue
+    # structure it expects; every compared name comes from ``grads``
+    save_reference_checkpoint(gpath, grads, language="english",
+                              pretrain_state=new_g)
+    ograds = {k: v.numpy() for k, v in torch.load(
+        gpath, map_location="cpu", weights_only=True).items()}
+
+    # reference autograd: fp32 (from the forward already executed above)
+    # and a float64 ground-truth run; each tensor's fp32 rounding envelope
+    # |ref32 - ref64| calibrates its tolerance (see _compare_grads)
+    ref_loss.backward()
+    rgrads32 = {n: p.grad.detach().to(torch.float64).numpy()
+                for n, p in rm.named_parameters() if p.grad is not None}
+    with _f64_truth_mode():
+        rm64 = build_ref(torch.float64)
+        ref_loss64 = rm64(torch.tensor(video).double(), F,
+                          torch.tensor(tag_ids), torch.tensor(tag_mask),
+                          torch.tensor(title_ids),
+                          torch.tensor(title_mask), 1)
+        ref_loss64.backward()
+    rgrads64 = {n: p.grad.detach().numpy()
+                for n, p in rm64.named_parameters() if p.grad is not None}
+    assert set(rgrads32) == set(rgrads64)
+    # floor=5e-6: the MoCo step composes 4 weighted losses over B x (1+K)
+    # softmaxes, so some tensors land ~2.4e-6 from the f64 truth while the
+    # reference's own fp32 envelope there is an unusually tight 2e-7
+    # (measured on the temporal out_proj at tiny geometry, 2026-08-19) —
+    # the ratio is brittle where the envelope is near zero, and a semantic
+    # mismatch still shows as diffs of 1e-3..1e-1, 1000x this floor.
+    _compare_grads(check, f"{tag} BirdPreTrainedModel.forward", ograds,
+                   rgrads32, rgrads64, floor=5e-6)
+
 
 def check_resnet_tower(mcross, tmp, check):
     """Execute the reference's ModifiedResNet + AttentionPool2d visual
@@ -560,6 +637,74 @@ def check_resnet_tower(mcross, tmp, check):
     check("RN video feature (train BN)", np.asarray(v2), tv2.numpy())
 
 
+def _patch_ref_layernorm():
+    """The reference's LayerNorm subclass force-casts its INPUT to fp32
+    (module_clip.py:222 — there to undo fp16 weight storage, which is
+    already disabled via convert_weights). Under a float64 model torch
+    raises "mixed dtype"; a dtype-preserving F.layer_norm is bit-identical
+    on the fp32 path (input is already fp32) and correct at f64."""
+    import torch
+
+    mclip_mod = sys.modules["modules.module_clip"]
+
+    def _ln_native_dtype(self, x):
+        return torch.nn.functional.layer_norm(
+            x, self.normalized_shape, self.weight, self.bias, self.eps)
+
+    mclip_mod.LayerNorm.forward = _ln_native_dtype
+
+
+@contextlib.contextmanager
+def _f64_truth_mode():
+    """The reference hard-casts its encoder outputs to fp32
+    (``x.float()``, module_cross.py:236-237,302-305 — there to undo fp16
+    weight storage, which is already disabled here). Under a float64
+    ground-truth model that cast truncates mid-model and then crashes the
+    f32xf64 matmul at modeling.py:223. Make ``.float()`` dtype-PRESERVING
+    for floating tensors for the duration of the f64 forward/backward
+    only; fp32 runs are untouched (there the cast is a no-op anyway, so
+    both precisions execute the same math)."""
+    import torch
+
+    orig = torch.Tensor.float
+
+    def _keep(self, *a, **k):
+        return self if self.is_floating_point() else orig(self, *a, **k)
+
+    torch.Tensor.float = _keep
+    try:
+        yield
+    finally:
+        torch.Tensor.float = orig
+
+
+def _compare_grads(check, tag, ours, ref32, ref64, floor=2e-6, mult=8.0):
+    """Self-calibrating gradient comparison: per-tensor, our fp32 grad's
+    distance from the reference's f64 ground truth must sit within
+    ``mult`` x the reference's OWN fp32 rounding envelope |ref32 - ref64|
+    (plus a tiny absolute floor for tensors whose envelope is ~0). mult=8:
+    our batched/scanned reductions (e.g. the FTM frame loop runs as one
+    einsum, the reference as a Python per-frame loop) have a legitimately
+    different fp32 rounding envelope — measured worst 5.2x the reference's
+    own noise on the composed BirdModel step (2026-08-19); a semantic
+    mismatch shows up as 100-1000x."""
+    worst, wname, wdiff, wnoise = 0.0, "", 0.0, 0.0
+    for n, g64 in ref64.items():
+        assert n in ours, f"{n} missing from exported grads"
+        g64 = np.asarray(g64, np.float64)
+        diff = float(np.max(np.abs(
+            np.asarray(ours[n], np.float64) - g64)))
+        noise = float(np.max(np.abs(
+            np.asarray(ref32[n], np.float64) - g64)))
+        allowed = max(mult * noise, floor)
+        if diff / allowed > worst:
+            worst, wname, wdiff, wnoise = diff / allowed, n, diff, noise
+    check(f"{tag} grads within {mult:g}x the reference's own fp32 "
+          f"noise of the f64 truth ({len(ref64)} tensors; "
+          f"worst={wname}: ours {wdiff:.2e}, ref-fp32 noise "
+          f"{wnoise:.2e}; value is the ratio)", worst, 0.0, 1.0)
+
+
 def check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
                         model, params, cross, geom):
     """ONE fine-tune training step's loss AND full parameter-gradient tree
@@ -620,20 +765,7 @@ def check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
             pretrained_clip_name=clip_path).items():
         setattr(cc, k, v)
     rmod.dist_collect = lambda x: x
-
-    # the reference's LayerNorm subclass force-casts its INPUT to fp32
-    # (module_clip.py:222 — there to undo fp16 weight storage, which is
-    # already disabled via convert_weights above). Under a float64 model
-    # torch raises "mixed dtype"; a dtype-preserving F.layer_norm is
-    # bit-identical on the fp32 path (input is already fp32) and correct
-    # at f64.
-    mclip_mod = sys.modules["modules.module_clip"]
-
-    def _ln_native_dtype(self, x):
-        return torch.nn.functional.layer_norm(
-            x, self.normalized_shape, self.weight, self.bias, self.eps)
-
-    mclip_mod.LayerNorm.forward = _ln_native_dtype
+    _patch_ref_layernorm()
 
     def build_ref(cls, dtype=torch.float32):
         rm = cls(cc, task_ns).to(dtype)
@@ -688,30 +820,8 @@ def check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
         gsd = torch.load(gpath, map_location="cpu", weights_only=True)
         return {k: v.numpy() for k, v in gsd.items()}, metrics
 
-    def compare_grads(tag, ours, ref32, ref64, floor=2e-6, mult=8.0):
-        # mult=8: our batched/scanned reductions (e.g. the FTM frame loop
-        # runs as one einsum, the reference as a Python per-frame loop)
-        # have a legitimately different fp32 rounding envelope — measured
-        # worst 5.2x the reference's own noise on the composed BirdModel
-        # step (2026-08-19); a semantic mismatch shows up as 100-1000x.
-        # per-tensor: our fp32 grad's distance from the f64 truth must sit
-        # within mult x the reference's OWN fp32 rounding envelope (plus a
-        # tiny absolute floor for tensors whose envelope is ~0)
-        worst, wname, wdiff, wnoise = 0.0, "", 0.0, 0.0
-        for n, g64 in ref64.items():
-            assert n in ours, f"{n} missing from exported grads"
-            g64 = np.asarray(g64, np.float64)
-            diff = float(np.max(np.abs(
-                np.asarray(ours[n], np.float64) - g64)))
-            noise = float(np.max(np.abs(
-                np.asarray(ref32[n], np.float64) - g64)))
-            allowed = max(mult * noise, floor)
-            if diff / allowed > worst:
-                worst, wname, wdiff, wnoise = diff / allowed, n, diff, noise
-        check(f"{tag} grads within {mult:g}x the reference's own fp32 "
-              f"noise of the f64 truth ({len(ref64)} tensors; "
-              f"worst={wname}: ours {wdiff:.2e}, ref-fp32 noise "
-              f"{wnoise:.2e}; value is the ratio)", worst, 0.0, 1.0)
+    def compare_grads(tag, ours, ref32, ref64):
+        _compare_grads(check, tag, ours, ref32, ref64)
 
     def loss_tol(ref32_loss, ref64_loss):
         # 8x for the same reduction-order reason as compare_grads; the
@@ -723,29 +833,7 @@ def check_finetune_full(rmod, mcross, tmp, check, sd_full, clip_path,
         # for an O(1) scalar here; a semantic mismatch shows as >=1e-3)
         return max(8.0 * abs(float(ref32_loss) - float(ref64_loss)), 2e-5)
 
-    import contextlib
-
-    @contextlib.contextmanager
-    def f64_truth_mode():
-        """The reference hard-casts its encoder outputs to fp32
-        (``x.float()``, module_cross.py:236-237,302-305 — there to undo
-        fp16 weight storage, which is already disabled here). Under the
-        float64 ground-truth model that cast truncates mid-model and then
-        crashes the f32xf64 matmul at modeling.py:223. Make ``.float()``
-        dtype-PRESERVING for floating tensors for the duration of the f64
-        forward/backward only; the fp32 run is untouched (there the cast
-        is a no-op anyway, so both precisions execute the same math)."""
-        orig = torch.Tensor.float
-
-        def _keep(self, *a, **k):
-            return self if self.is_floating_point() else orig(self, *a,
-                                                              **k)
-
-        torch.Tensor.float = _keep
-        try:
-            yield
-        finally:
-            torch.Tensor.float = orig
+    f64_truth_mode = _f64_truth_mode
 
     # ---- BirdModel: VTM + FTM composed step (fp32 + f64 ground truth)
     rm = build_ref(rmod.BirdModel)
