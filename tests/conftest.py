@@ -135,49 +135,51 @@ harden_cache_writes()
 import pytest  # noqa: E402
 
 
-# Collection order: heaviest XLA:CPU materializations FIRST. Every
-# observed jaxlib-0.9.0 materialization segfault (docs/design.md,
-# "Test-gate reliability") struck one of the suite's LARGEST programs at
-# position ~#140+, never early — test_cli_smoke compiles runner-level
-# programs at positions 1-25 and has never crashed, while test_trainer's
-# big pretrain steps crashed three times from the late alphabetical slot
-# (isolating one offender just moved the fault to the next-largest late
-# program). Running the big-program modules first means they materialize
-# while few executables have been created/destroyed, and only small
-# programs (tokenizer/metrics/losses/quant) execute in the vulnerable
-# late-suite window. Stable sort: within-module and remaining
-# alphabetical order are preserved.
+# Collection order for DIRECT multi-module runs (developer loops that
+# name several files): heaviest XLA:CPU materializations FIRST, so big
+# programs compile while the process is young. In a full-suite session
+# this ordering is moot — see _ORCHESTRATOR below: the parent compiles
+# nothing and every module runs in a fresh child interpreter.
 _RUN_FIRST = ("test_trainer", "test_end_to_end_learning",
               "test_full_parity", "test_eval_pipeline", "test_cli_smoke",
-              # multihost's COMPILES happen in fresh child processes
-              # (safe anywhere), but the children read the persistent
-              # cache — run before the cache cutoff below so they keep
-              # their warm compiles
               "test_multihost",
-              # the remaining model-level compiles, so every big program
-              # materializes before the cutoff
               "test_resnet_import", "test_resnet", "test_models",
               "test_torch_parity", "test_factory_import",
-              "test_optimization",
-              # the last compile-heavy NON-model modules: the fused
-              # batched-RandAugment program and the Pallas attention
-              # kernels + custom_vjp. Left in the tail, they were the
-              # next-largest late materializations and took the fault in
-              # turn (test_randaugment's fresh backend_compile_and_load
-              # at ~#140, twice on 2026-08-19) — the tail must compile
-              # NOTHING but trivial op-level programs.
-              "test_randaugment", "test_pallas_attention")
+              "test_optimization")
+
+# Full-suite isolation (docs/design.md "Test-gate reliability", crashes
+# 1-9): jaxlib 0.9.0's XLA:CPU executable materialization can segfault
+# in an AGED process — nine observed crashes, every one a non-trivial
+# program materializing after ~90+ tests, never a young process, and
+# never the same module once that module was reordered or isolated (the
+# fault just moves to the next-largest late compile: test_trainer →
+# test_resnet_import → test_randaugment → test_data). So when a session
+# collects test_suite_isolation ALONGSIDE other modules (i.e. a
+# full-directory run such as the `pytest tests/ -x -q` gate), every
+# in-process item is deselected and the orchestrator runs each module
+# in a clean child interpreter — the empirically stable shape. Naming
+# modules directly keeps them in-process for developer loops.
+_ORCHESTRATOR = "test_suite_isolation"
+
+
+def _item_module(item):
+    mod = os.path.basename(item.nodeid.split("::", 1)[0])
+    return mod[:-3] if mod.endswith(".py") else mod
 
 
 def pytest_collection_modifyitems(config, items):
+    mods = {_item_module(i) for i in items}
+    if _ORCHESTRATOR in mods and len(mods) > 1:
+        deselected = [i for i in items
+                      if _item_module(i) != _ORCHESTRATOR]
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [i for i in items
+                    if _item_module(i) == _ORCHESTRATOR]
+        return
+
     rank = {m: i for i, m in enumerate(_RUN_FIRST)}
-
-    def key(item):
-        mod = os.path.basename(item.nodeid.split("::", 1)[0])
-        return rank.get(mod[:-3] if mod.endswith(".py") else mod,
-                        len(_RUN_FIRST))
-
-    items.sort(key=key)
+    items.sort(key=lambda item: rank.get(_item_module(item),
+                                         len(_RUN_FIRST)))
 
 
 # Persistent-cache cutoff: 5 of the 6 observed jaxlib-0.9.0
