@@ -106,6 +106,10 @@ class SelfAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     causal: bool = False
+    # sow the fp32 softmax probabilities into the 'intermediates'
+    # collection (visualization/introspection; default off keeps the
+    # compiled train/eval programs byte-identical)
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -122,6 +126,13 @@ class SelfAttention(nn.Module):
             self.param_dtype)
         out_bias = self.param(
             "out_bias", nn.initializers.zeros, (d,), self.param_dtype)
+        if self.sow_attn:
+            out, weights = multi_head_attention(
+                x.astype(self.dtype), in_proj_kernel, in_proj_bias,
+                out_kernel, out_bias, self.num_heads, mask,
+                use_pallas=False, causal=self.causal, return_weights=True)
+            self.sow("intermediates", "attn_weights", weights)
+            return out
         return multi_head_attention(
             x.astype(self.dtype), in_proj_kernel, in_proj_bias, out_kernel,
             out_bias, self.num_heads, mask, use_pallas=self.use_pallas,
@@ -137,6 +148,7 @@ class ResidualAttentionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     causal: bool = False
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -144,7 +156,8 @@ class ResidualAttentionBlock(nn.Module):
         d = x.shape[-1]
         attn = SelfAttention(
             self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, causal=self.causal, name="attn")
+            use_pallas=self.use_pallas, causal=self.causal,
+            sow_attn=self.sow_attn, name="attn")
         ln_1 = LayerNorm(param_dtype=self.param_dtype, name="ln_1")
         ln_2 = LayerNorm(param_dtype=self.param_dtype, name="ln_2")
         c_fc = Linear(4 * d, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -164,13 +177,14 @@ class _ScanBlock(nn.Module):
     param_dtype: Dtype
     use_pallas: bool
     causal: bool
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
         y = ResidualAttentionBlock(
             self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
             use_pallas=self.use_pallas, causal=self.causal,
-            name="block")(x, mask)
+            sow_attn=self.sow_attn, name="block")(x, mask)
         return y, None
 
 
@@ -193,6 +207,7 @@ class Transformer(nn.Module):
     # 244 vs 203 clips/s on ViT-B/32 @ v5e — partial unroll=4 is WORSE,
     # 122, so the knob is full-or-rolled in practice).
     unroll: int = 0
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -212,12 +227,16 @@ class Transformer(nn.Module):
             body = nn.remat(body, prevent_cse=False, policy=policy)
         stack = nn.scan(
             body,
-            variable_axes={"params": 0},
+            # 'intermediates' rides the scan axis so sown attention
+            # probabilities come out stacked [layers, ...]; nothing is
+            # written (or even traced) unless sow_attn is set AND the
+            # caller passes mutable=['intermediates']
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=self.layers,
             in_axes=nn.broadcast,
             unroll=min(self.unroll or self.layers, self.layers),
         )(self.num_heads, self.dtype, self.param_dtype, self.use_pallas,
-          self.causal, name="resblocks")
+          self.causal, self.sow_attn, name="resblocks")
         x, _ = stack(x, mask)
         return x

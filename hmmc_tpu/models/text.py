@@ -41,6 +41,8 @@ class ClipTextTower(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # sow per-layer attention probabilities (visualization path)
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, return_hidden: bool = False):
@@ -67,7 +69,8 @@ class ClipTextTower(nn.Module):
         x = Transformer(
             layers=a.transformer_layers, num_heads=a.transformer_heads,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas, causal=True, name="transformer")(
+            use_pallas=self.use_pallas, causal=True,
+            sow_attn=self.sow_attn, name="transformer")(
                 x, causal_mask(l))
         hidden = LayerNorm(param_dtype=self.param_dtype, name="ln_final")(x)
         hidden = hidden @ text_projection.astype(self.dtype)
@@ -179,6 +182,9 @@ class TextEncoder(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     chinese_vocab_size: int = 21128
+    # sow per-layer attention probabilities (english/CLIP tower only;
+    # visualization path — tools/visualize_attention.py)
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray,
@@ -191,7 +197,8 @@ class TextEncoder(nn.Module):
         if self.language == "english":
             out = ClipTextTower(
                 self.arch, dtype=self.dtype, param_dtype=self.param_dtype,
-                use_pallas=self.use_pallas, name="clip_text")(
+                use_pallas=self.use_pallas, sow_attn=self.sow_attn,
+                name="clip_text")(
                     input_ids, return_hidden=True)
             pooled, hidden = out
         elif self.language == "chinese":

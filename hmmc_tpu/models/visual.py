@@ -40,6 +40,9 @@ class VisualEncoder(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     remat: Any = False  # False | True (full) | "dots" (selective)
+    # sow per-layer attention probabilities from the ViT and the temporal
+    # transformer (tools/visualize_attention.py); ViT towers only
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -70,7 +73,8 @@ class VisualEncoder(nn.Module):
         else:
             vit = VisionTransformer(
                 self.arch, dtype=self.dtype, param_dtype=self.param_dtype,
-                use_pallas=self.use_pallas, remat=self.remat, name="visual")
+                use_pallas=self.use_pallas, remat=self.remat,
+                sow_attn=self.sow_attn, name="visual")
             if self.arch.linear_patch == "3d":
                 per_frame = vit(video)  # tube conv handles the frame axis
             else:
@@ -100,7 +104,7 @@ class VisualEncoder(nn.Module):
                 layers=cc.temporal_hidden_layers,
                 num_heads=cc.temporal_attention_heads,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, sow_attn=self.sow_attn,
                 name="temporal_transformer")(x.astype(self.dtype), add_mask)
             hidden = x.astype(jnp.float32) + hidden
 

@@ -36,6 +36,8 @@ class VisionTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     remat: Any = False  # False | True (full) | "dots" (selective)
+    # sow per-layer attention probabilities (tools/visualize_attention.py)
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -89,7 +91,7 @@ class VisionTransformer(nn.Module):
             layers=a.vision_layers, num_heads=a.vision_heads,
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_pallas=self.use_pallas, remat=self.remat,
-            name="transformer")(x)
+            sow_attn=self.sow_attn, name="transformer")(x)
 
         ln_post = LayerNorm(param_dtype=self.param_dtype, name="ln_post")
         pooled = ln_post(x[:, 0, :]) @ proj.astype(self.dtype)

@@ -53,6 +53,7 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     causal: bool = False,
+    return_weights: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with a packed qkv projection.
 
@@ -61,7 +62,9 @@ def multi_head_attention(
     mask: additive, broadcastable to [B, H, L, L]. ``causal`` flags the
     causal pattern statically so the Pallas kernel can apply it in-kernel
     (the XLA path keeps using ``mask``, which the caller builds to include
-    causality).
+    causality). ``return_weights`` additionally returns the fp32 softmax
+    probabilities [B, H, L, L] (visualization/introspection path — the
+    Pallas kernel never materializes them, so it requires the XLA path).
     """
     b, l, d = x.shape
     head_dim = d // num_heads
@@ -70,6 +73,11 @@ def multi_head_attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if use_pallas:
+        if return_weights:
+            raise ValueError(
+                "return_weights requires the XLA attention path — the "
+                "fused Pallas kernel never materializes the probabilities")
+
         def heads(t):
             return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
 
@@ -100,12 +108,16 @@ def multi_head_attention(
     weights = jnp.exp(logits - lax.stop_gradient(
         jnp.max(logits, axis=-1, keepdims=True)))
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights_f32 = weights
     weights = weights.astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = jnp.einsum(
         "bqhd,hde->bqe", out,
         out_kernel.astype(x.dtype).reshape(num_heads, head_dim, d))
-    return out + out_bias.astype(x.dtype)
+    out = out + out_bias.astype(x.dtype)
+    if return_weights:
+        return out, weights_f32
+    return out
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jnp.ndarray:
