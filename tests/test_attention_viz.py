@@ -124,6 +124,32 @@ def test_text_sow_capture():
     assert np.allclose(np.asarray(w)[:, :, :, 0, 1:], 0.0, atol=1e-6)
 
 
+def test_load_frames_dir(tmp_path):
+    from PIL import Image
+
+    from tools.visualize_attention import _load_frames
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)).save(
+            str(d / f"{i:03d}.png"))
+
+    class Args:
+        frames_dir = str(d)
+        framepack = None
+        video_id = None
+        resolution = 32
+        max_frames = 2
+
+    frames = _load_frames(Args())
+    # max_frames cap + eval preprocessing to [F, res, res, 3] uint8
+    assert frames.shape == (2, 32, 32, 3)
+    assert frames.dtype == np.uint8
+
+
 def test_visualize_end_to_end(tmp_path):
     rng = np.random.default_rng(4)
     frames = rng.integers(0, 255, size=(3, 32, 32, 3), dtype=np.uint8)
