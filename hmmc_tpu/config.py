@@ -108,6 +108,29 @@ CLIP_ARCH = {
         vocab_size=49408, transformer_width=512, transformer_heads=8,
         transformer_layers=12,
     ),
+    # EfficientNet-style scaled ResNets (the rest of the reference's
+    # model zoo, module_clip.py:23-25). Geometry follows the OpenAI CLIP
+    # release; everything downstream (stem width/2, bottleneck x4,
+    # attnpool grid = resolution/32, text heads = width/64) derives from
+    # these numbers, and from_state_dict detects them identically.
+    "RN50x4": dict(
+        embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
+        vision_width=80, vision_patch_size=0, context_length=77,
+        vocab_size=49408, transformer_width=640, transformer_heads=10,
+        transformer_layers=12,
+    ),
+    "RN50x16": dict(
+        embed_dim=768, image_resolution=384, vision_layers=(6, 8, 18, 8),
+        vision_width=96, vision_patch_size=0, context_length=77,
+        vocab_size=49408, transformer_width=768, transformer_heads=12,
+        transformer_layers=12,
+    ),
+    "RN50x64": dict(
+        embed_dim=1024, image_resolution=448, vision_layers=(3, 15, 36, 10),
+        vision_width=128, vision_patch_size=0, context_length=77,
+        vocab_size=49408, transformer_width=1024, transformer_heads=16,
+        transformer_layers=12,
+    ),
 }
 
 

@@ -18,13 +18,25 @@ WIDTH, LAYERS, RES, EMB = 16, (3, 4, 6, 3), 64, 48
 TW, TLAYERS, CTX, VOCAB = 64, 2, 12, 128
 
 
-def _rn_clip_sd():
-    """Synthetic checkpoint with RN50's exact key naming and stage counts
-    (tiny width/resolution). Includes num_batches_tracked like real torch
-    BN state dicts."""
+class _Shape:
+    """Shape-only stand-in for a tensor — from_state_dict consults nothing
+    but ``.shape`` and key names, so real-geometry detection tests (incl.
+    RN50x64's ~1.2 GB of weights) cost no memory."""
+
+    def __init__(self, *shape):
+        self.shape = shape
+
+
+def _rn_clip_sd(WIDTH=WIDTH, LAYERS=LAYERS, RES=RES, EMB=EMB, TW=TW,
+                TLAYERS=TLAYERS, CTX=CTX, VOCAB=VOCAB, factory=None):
+    """Synthetic checkpoint with the ModifiedResNet's exact key naming and
+    stage counts (tiny width/resolution by default). Includes
+    num_batches_tracked like real torch BN state dicts."""
     g = np.random.default_rng(0)
 
     def t(*shape):
+        if factory is not None:
+            return factory(*shape)
         return (g.normal(size=shape) * 0.05).astype(np.float32)
 
     sd = {}
@@ -33,8 +45,11 @@ def _rn_clip_sd():
         sd[f"{name}.weight"] = t(c)
         sd[f"{name}.bias"] = t(c)
         sd[f"{name}.running_mean"] = t(c)
-        sd[f"{name}.running_var"] = np.abs(t(c)) + 1.0
-        sd[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+        rv = t(c)
+        sd[f"{name}.running_var"] = (
+            rv if factory is not None else np.abs(rv) + 1.0)
+        sd[f"{name}.num_batches_tracked"] = (
+            t() if factory is not None else np.zeros((), np.int64))
 
     sd["visual.conv1.weight"] = t(WIDTH // 2, 3, 3, 3)
     bn("visual.bn1", WIDTH // 2)
@@ -75,7 +90,7 @@ def _rn_clip_sd():
     sd["text_projection"] = t(TW, EMB)
     sd["ln_final.weight"] = t(TW)
     sd["ln_final.bias"] = t(TW)
-    sd["logit_scale"] = np.float32(4.0)
+    sd["logit_scale"] = t() if factory is not None else np.float32(4.0)
     for i in range(TLAYERS):
         b = f"transformer.resblocks.{i}"
         sd[f"{b}.attn.in_proj_weight"] = t(3 * TW, TW)
@@ -327,3 +342,46 @@ def test_rn_pretrain_step_keeps_visual_bn_frozen():
     np.testing.assert_array_equal(vis0, vis2)       # frozen RN BN
     assert not np.allclose(proj0, proj2)            # projector BN evolved
     assert int(state.queues.ptr) == (2 * B) % task.contrast_num_negative
+
+
+@pytest.mark.parametrize(
+    "name", ["RN50", "RN101", "RN50x4", "RN50x16", "RN50x64"])
+def test_rn_zoo_name_table_matches_shape_detection(name):
+    """Every ResNet in the reference's model zoo (module_clip.py:21-25),
+    including the EfficientNet-style scaled RN50x4/x16/x64: a shape-only
+    state dict at the REAL released geometry detects to exactly the
+    CLIP_ARCH name-table entry, so --pretrained_clip_name builds and
+    checkpoint-driven builds (module_clip.py:536-549) agree across the
+    full zoo."""
+    want = ClipArch.by_name(name)
+    sd = _rn_clip_sd(
+        WIDTH=want.vision_width, LAYERS=tuple(want.vision_layers),
+        RES=want.image_resolution, EMB=want.embed_dim,
+        TW=want.transformer_width, TLAYERS=want.transformer_layers,
+        CTX=want.context_length, VOCAB=want.vocab_size, factory=_Shape)
+    assert ClipArch.from_state_dict(sd) == want
+
+
+def test_scaled_rn_tiny_import_and_forward():
+    """The x4-style scaled stage pattern (4/6/10/6 blocks, non-default
+    stem width) builds, imports, and forwards — stage-count and width
+    generality of import_clip_resnet beyond the RN50 shape."""
+    layers, width, res, emb = (4, 6, 10, 6), 16, 96, 40
+    sd = _rn_clip_sd(WIDTH=width, LAYERS=layers, RES=res, EMB=emb)
+    arch = ClipArch.from_state_dict(sd)
+    assert arch.vision_layers == layers
+    assert arch.image_resolution == res
+    net = ModifiedResNet(layers=layers, output_dim=emb,
+                         heads=arch.vision_heads, input_resolution=res,
+                         width=width)
+    params, stats = ckpt.import_clip_resnet(sd, "visual")
+    init_vars = net.init(jax.random.PRNGKey(0), jnp.ones((1, res, res, 3)))
+    assert _flat_paths(init_vars["params"]) == _flat_paths(params)
+    out = net.apply({"params": params, "batch_stats": stats},
+                    jnp.ones((1, res, res, 3)))
+    assert out.shape == (1, emb)
+    assert np.isfinite(np.asarray(out)).all()
+    # strict export round-trip holds for the scaled pattern too
+    back = ckpt.export_clip_resnet(params, stats, prefix="visual.")
+    want = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    assert set(back) == set(want)
