@@ -97,6 +97,9 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--tp_size", type=int, default=1,
                    help="tensor-parallel shards (Megatron-style placement "
                         "over the mesh's model axis)")
+    p.add_argument("--sp_size", type=int, default=1,
+                   help="frame-axis sequence-parallel shards (video sharded "
+                        "[B/dp, F/sp, ...]; max_frames %% sp_size must be 0)")
     p.add_argument("--use_pallas_attention", action="store_true")
     p.add_argument("--optim_bf16_state", action="store_true",
                    help="store BertAdam m/v moments in bf16 (fp32 math, "

@@ -280,6 +280,11 @@ class TaskConfig:
     dp_size: int = 0
     # tensor-parallel shards over the reserved `model` axis
     tp_size: int = 1
+    # frame-axis sequence-parallel shards over the `seq` axis: the video
+    # is sharded [B/dp, F/sp, ...] so each chip's ViT sees only its own
+    # frames — activation HBM drops sp-fold for long-frame configs
+    # (max_frames must be divisible by sp)
+    sp_size: int = 1
     # use Pallas fused attention where profitable (falls back to XLA attn)
     use_pallas_attention: bool = False
     # store BertAdam m/v moments in bf16 (updates still compute in fp32):
@@ -314,6 +319,10 @@ class TaskConfig:
             raise ValueError(f"unknown frame_sample {self.frame_sample!r}")
         if self.frame_sample_len not in ("fix", "dynamic"):
             raise ValueError(f"unknown frame_sample_len {self.frame_sample_len!r}")
+        if self.sp_size > 1 and self.max_frames % self.sp_size:
+            raise ValueError(
+                f"max_frames ({self.max_frames}) must be divisible by "
+                f"sp_size ({self.sp_size}) for frame-axis sharding")
 
     @property
     def micro_batch_size(self) -> int:

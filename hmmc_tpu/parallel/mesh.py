@@ -8,8 +8,19 @@ single logical program over a named mesh:
   the sharded loss mean; the global BxB sim matrix of the contrastive loss
   is a sharded einsum (XLA inserts the all-gather over ICI) — replacing
   ``dist_collect`` (modeling.py:25-36).
-- axis ``model``: reserved for tensor parallelism; size 1 at ViT-B scale
-  (SURVEY §2.9 "design mesh axes so a model axis can be added later").
+- axis ``seq``: frame-axis sequence parallelism (SP). HMMC's "sequence" is
+  the frame axis (SURVEY §5 — text is 77 tokens, patches 50-197, but
+  ``--max_frames`` scales to 30-48), and the per-frame ViT is the hot
+  compute: it flattens [B, F] into one leading axis (module_cross.py:
+  180-185), so sharding the video on BOTH axes runs each chip over
+  B/dp x F/sp frames — activation HBM drops sp-fold with NO cross-chip
+  traffic inside the tower. Only the tiny temporal transformer +
+  normalize-then-mean ([B, F, D], ~25 KB/clip) touch the frame axis
+  cross-chip, and GSPMD inserts those gathers. This extends the memory
+  envelope of long-frame configs (the B/16 x 30 stretch compiles at
+  batch 4/chip max on 16 GB — SP splits that wall across chips).
+- axis ``model``: tensor parallelism (Megatron placement, ``--tp_size``);
+  size 1 at ViT-B scale (SURVEY §2.9).
 
 All arrays live as global jax.Arrays; there is no per-process rank logic in
 user code.
@@ -25,29 +36,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    dp: int = 0      # 0 = all devices
+    dp: int = 0      # 0 = all remaining devices
     tp: int = 1
+    sp: int = 1      # frame-axis sequence-parallel shards
 
     def resolve(self, n_devices: int) -> "MeshSpec":
-        dp = self.dp or (n_devices // self.tp)
-        return MeshSpec(dp=dp, tp=self.tp)
+        dp = self.dp or (n_devices // (self.tp * self.sp))
+        return MeshSpec(dp=dp, tp=self.tp, sp=self.sp)
 
 
 def make_mesh(spec: MeshSpec = MeshSpec(),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     spec = spec.resolve(len(devices))
-    n = spec.dp * spec.tp
+    n = spec.dp * spec.sp * spec.tp
     if n > len(devices):
         raise ValueError(
             f"mesh {spec} needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(spec.dp, spec.tp)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    grid = np.asarray(devices[:n]).reshape(spec.dp, spec.sp, spec.tp)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -55,12 +68,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, F, ...] video: batch over ``data``, frame axis over ``seq``.
+
+    The model flattens [B, F] into the per-frame tower's leading axis
+    (models/visual.py), and GSPMD merges the (data, seq)-sharded pair
+    into a (data, seq)-sharded flat axis — each chip runs the ViT on its
+    own frames only. With sp == 1 this degenerates to batch_sharding."""
+    return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _leaf_sharding(mesh: Mesh, path, leaf) -> NamedSharding:
+    if (SEQ_AXIS in mesh.shape and mesh.shape[SEQ_AXIS] > 1
+            and path and getattr(path[-1], "key", None) == "video"
+            and np.ndim(leaf) >= 2):
+        return video_sharding(mesh)
+    return batch_sharding(mesh)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays onto the mesh, batch-axis sharded.
+    """Place a host pytree of arrays onto the mesh, batch-axis sharded
+    (plus frame-axis ``seq`` sharding for the video when sp > 1).
 
     Single-process: a plain device_put of the global batch. Multi-host
     (jax.process_count() > 1): each leaf is this process's contiguous
@@ -68,13 +100,13 @@ def shard_batch(mesh: Mesh, batch):
     sharding), assembled into one global jax.Array via
     jax.make_array_from_process_local_data — the DistributedSampler +
     DDP equivalent (dataloaders/dataloader.py:14)."""
-    sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), batch)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), batch)
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.device_put(x, _leaf_sharding(mesh, p, x)),
+            batch)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.make_array_from_process_local_data(
+            _leaf_sharding(mesh, p, x), np.asarray(x)), batch)
 
 
 # ---------------------------------------------------------------------------

@@ -181,7 +181,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         weight_decay=task.weight_decay,
         warmup_proportion=task.warmup_proportion, t_total=t_total,
         state_dtype=jnp.bfloat16 if task.optim_bf16_state else None)
-    mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size))
+    mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size,
+                              sp=task.sp_size))
     if task.tp_size > 1:
         params = shard_params(mesh, params)
     state = FinetuneState.create(params, tx,
@@ -371,7 +372,7 @@ def run_pretrain(args, log=None) -> None:
     state = PretrainState.create(variables, tx, queues)
     if pretrain_import:
         state = _apply_pretrain_import(state, pretrain_import, log)
-    mesh = make_mesh(MeshSpec(dp=task.dp_size))
+    mesh = make_mesh(MeshSpec(dp=task.dp_size, sp=task.sp_size))
     opt_shardings = None
     if task.zero_opt:
         opt_sharded, opt_shardings = shard_opt_state(mesh, state.opt_state)

@@ -146,6 +146,31 @@ def test_run_finetune_msrvtt(data_dir, cross_json, tmp_path):
     assert os.path.isfile(os.path.join(out, "pytorch_model.bin.0"))
 
 
+def test_run_finetune_sequence_parallel(data_dir, cross_json, tmp_path):
+    """--sp_size 2 through the full runner: the video is sharded
+    [B/dp, F/sp, ...] over the dp x sp mesh (frame-axis sequence
+    parallelism), training and eval complete, and metrics stay finite.
+    The reference's frame axis is always process-local
+    (module_cross.py:180-185)."""
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "sp")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt", "--sp_size", "2"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
+def test_sp_size_must_divide_max_frames():
+    from hmmc_tpu.cli import to_task_config
+
+    with pytest.raises(ValueError, match="divisible by"):
+        to_task_config(get_args(argv=["--do_train", "--max_frames", "5",
+                                      "--sp_size", "2",
+                                      "--output_dir", "/tmp/x"]))
+
+
 def test_run_finetune_bf16_optim_state(data_dir, cross_json, tmp_path):
     """--optim_bf16_state through the full runner: trains, evals, and the
     Orbax checkpoint round-trips the bf16 moments (resume restores into the

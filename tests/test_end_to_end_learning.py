@@ -82,6 +82,44 @@ def test_dp_sharding_loss_and_grad_invariance():
                                atol=1e-7)
 
 
+def test_sp_frame_sharding_invariance_and_memory():
+    """--sp_size (frame-axis sequence parallelism): the video sharded
+    [B/dp, F/sp, ...] must give loss/grad-norm/updated params identical
+    to the dp-only run — the per-frame ViT is embarrassingly parallel
+    over frames, and only the tiny temporal stage + normalize-then-mean
+    cross the seq axis. Also checks the compiled per-chip temp footprint
+    stays in the dp=8 run's neighborhood (a gathered-video program would
+    be ~sp-fold larger). No reference counterpart: its frame axis is
+    always process-local (module_cross.py:180-185)."""
+    model, batch, params, tx = _setup()
+    step = make_finetune_step(model, tx, TINY_CROSS)
+    out, temps = {}, {}
+    for name, spec in (("dp8", MeshSpec(dp=8)),
+                       ("dp4sp2", MeshSpec(dp=4, sp=2))):
+        mesh = make_mesh(spec)
+        state = FinetuneState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx)
+        db = shard_batch(mesh, dict(batch))
+        assert db["video"].sharding.spec[:2] == (
+            ("data",) if name == "dp8" else ("data", "seq"))
+        try:
+            mem = step.lower(state, db).compile().memory_analysis()
+            temps[name] = getattr(mem, "temp_size_in_bytes", None)
+        except Exception:
+            temps[name] = None
+        state, m = step(state, db)
+        out[name] = (float(m["loss"]), float(m["grad_norm"]), np.asarray(
+            state.params["text_encoder"]["clip_text"]["token_embedding"]))
+    np.testing.assert_allclose(out["dp8"][0], out["dp4sp2"][0], rtol=1e-5)
+    np.testing.assert_allclose(out["dp8"][1], out["dp4sp2"][1], rtol=1e-4)
+    np.testing.assert_allclose(out["dp8"][2], out["dp4sp2"][2], rtol=1e-5,
+                               atol=1e-7)
+    if temps.get("dp8") and temps.get("dp4sp2"):
+        # same flattened per-frame axis split 8 ways either way; a
+        # seq-gathering program would sit near 2x (sp=2) the dp=8 temps
+        assert temps["dp4sp2"] < 1.5 * temps["dp8"], temps
+
+
 def test_overfit_drives_r1_to_100():
     model, batch, params, tx = _setup()
     step = make_finetune_step(model, tx, TINY_CROSS, use_frame_fea=False)
