@@ -131,6 +131,43 @@ def test_pretrain_step_runs_and_updates_queue():
     np.testing.assert_allclose(cols, 1.0, rtol=1e-5)
 
 
+def test_pretrain_sp_mesh_consistency():
+    """Frame-axis sequence parallelism under the MoCo step: dp4 x sp2
+    must reproduce the dp8 run exactly — all four losses, the post-step
+    queues (including the FAM frame queues, whose enqueued keys are
+    computed from the seq-SHARDED frame axis), the queue ptr, the EMA'd
+    key towers, and the projector BN batch stats. The reference's queue
+    machinery assumes the frame axis never leaves a rank
+    (modeling.py:244-284)."""
+    outs = {}
+    for name, spec in (("dp8", MeshSpec(dp=8)),
+                       ("dp4sp2", MeshSpec(dp=4, sp=2))):
+        state, step, batch = _pretrain_setup()
+        mesh = make_mesh(spec)
+        state, m = step(state, shard_batch(mesh, batch),
+                        jax.random.PRNGKey(3))
+        float(m["loss"])
+        outs[name] = (m, state)
+    m8, s8 = outs["dp8"]
+    msp, ssp = outs["dp4sp2"]
+    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM", "loss_MLM"):
+        np.testing.assert_allclose(float(m8[k]), float(msp[k]), rtol=2e-5,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s8.queues, ssp.queues)
+    assert int(s8.queues.ptr) == int(ssp.queues.ptr)
+    np.testing.assert_allclose(
+        np.asarray(s8.params_k["visual_encoder"]["visual"]["proj"]),
+        np.asarray(ssp.params_k["visual_encoder"]["visual"]["proj"]),
+        rtol=1e-5, atol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s8.batch_stats["v_projector"], ssp.batch_stats["v_projector"])
+
+
 def test_pretrain_queue_wraparound():
     state, step, batch = _pretrain_setup()
     # K=32, B=16 -> two steps wrap to 0
