@@ -99,13 +99,29 @@ class _BlockedEncoder:
 class Evaluator:
     def __init__(self, model, task: TaskConfig, query_block: int = 512,
                  weight_title: float = 0.5, text_block: int = 512,
-                 video_block: int = 64):
+                 video_block: int = 64, mesh=None):
+        """``mesh``: when given (and this is a single-process run over a
+        >1-device ``data`` axis), eval blocks are batch-sharded over the
+        mesh and the params replicated, so feature caching and the
+        blocked sim einsums use EVERY chip — the single-program
+        equivalent of the reference's thread-replicated multi-GPU eval
+        (util.py:23-62, main_task_retrieval.py:448-477). Without a mesh
+        the blocks run on the default device."""
         self.model = model
         self.task = task
         self.query_block = query_block
         self.weight_title = weight_title
         self.text_block = text_block
         self.video_block = video_block
+
+        self._bshard = self._rep = None
+        if (mesh is not None and jax.process_count() == 1
+                and mesh.shape.get("data", 1) > 1):
+            from hmmc_tpu.parallel import batch_sharding, replicated
+
+            self._dp = mesh.shape["data"]
+            self._bshard = batch_sharding(mesh)
+            self._rep = replicated(mesh)
 
         def encode_text(variables, ids, mask):
             return model.apply(variables, ids, mask, method="encode_text")
@@ -132,6 +148,19 @@ class Evaluator:
 
         self._block_sims = block_sims
 
+    def _place_block(self, x):
+        """Shard a fixed-size block over the data axis (when mesh-enabled
+        and the block divides); plain jnp otherwise."""
+        x = np.asarray(x)
+        if self._bshard is not None and x.shape[0] % self._dp == 0:
+            return jax.device_put(x, self._bshard)
+        return jnp.asarray(x)
+
+    def _place_rep(self, tree):
+        if self._rep is not None:
+            return jax.device_put(tree, self._rep)
+        return jax.device_put(tree)
+
     # ------------------------------------------------------------------
 
     def cache_features(self, params, loader, dataset, batch_stats=None):
@@ -145,14 +174,21 @@ class Evaluator:
         # factory.build_model returns HOST numpy variables (cheap overlay
         # merging); pin them to device once — otherwise every blocked
         # encoder call re-uploads the full tower weights (~600 MB for
-        # ViT-B/32, ~10 s per call through a remote-attached chip)
-        var = jax.device_put(var)
+        # ViT-B/32, ~10 s per call through a remote-attached chip).
+        # Mesh-enabled: replicated params + data-sharded blocks spread
+        # each block's rows over every chip.
+        var = self._place_rep(var)
         q_enc = _BlockedEncoder(
-            lambda i, m: self._encode_text(var, i, m), self.text_block)
+            lambda i, m: self._encode_text(
+                var, self._place_block(i), self._place_block(m)),
+            self.text_block)
         t_enc = _BlockedEncoder(
-            lambda i, m: self._encode_text(var, i, m), self.text_block)
+            lambda i, m: self._encode_text(
+                var, self._place_block(i), self._place_block(m)),
+            self.text_block)
         v_enc = _BlockedEncoder(
-            lambda v: self._encode_video(var, v), self.video_block)
+            lambda v: self._encode_video(var, self._place_block(v)),
+            self.video_block)
 
         total_video = 0
         for batch in loader:
@@ -179,10 +215,12 @@ class Evaluator:
 
     def similarity(self, params, q: np.ndarray, v: np.ndarray,
                    f: np.ndarray, t=None) -> np.ndarray:
-        scale = jnp.minimum(
-            jnp.exp(params["text_encoder"]["logit_scale"]), 100.0)
-        v_dev = jnp.asarray(v)
-        f_dev = jnp.asarray(f)
+        # numpy so the scalar stays uncommitted (mixing a device-0 scalar
+        # with mesh-sharded query blocks would be a placement conflict)
+        scale = np.minimum(np.exp(np.asarray(
+            params["text_encoder"]["logit_scale"], np.float32)), 100.0)
+        v_dev = self._place_rep(jnp.asarray(v))
+        f_dev = self._place_rep(jnp.asarray(f))
         blocks = []
         frame_blocks = []
         qb = self.query_block
@@ -190,7 +228,7 @@ class Evaluator:
         for s in range(0, nq, qb):
             qblk = _pad_to(q[s:s + qb], qb)
             sim, sim_frame = self._block_sims(
-                jnp.asarray(qblk), v_dev, f_dev, scale)
+                self._place_block(qblk), v_dev, f_dev, jnp.float32(scale))
             n = min(qb, nq - s)
             blocks.append(np.asarray(sim)[:n])
             frame_blocks.append(np.asarray(sim_frame)[:n])

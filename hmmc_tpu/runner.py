@@ -122,7 +122,8 @@ def run_eval(args, log=None) -> Dict[str, float]:
     model, variables = factory.build_model(
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
-    ev = Evaluator(model, task, weight_title=cross.weight_title)
+    ev = Evaluator(model, task, weight_title=cross.weight_title,
+                   mesh=make_mesh(MeshSpec(dp=task.dp_size)))
     metrics = ev.run(variables["params"], loader, dataset, log,
                      batch_stats=variables.get("batch_stats"))
     return metrics
@@ -211,7 +212,8 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                                       opt_shardings=opt_shardings)
     start_epoch = start_epoch or 0
 
-    evaluator = Evaluator(model, task, weight_title=cross.weight_title)
+    evaluator = Evaluator(model, task, weight_title=cross.weight_title,
+                          mesh=mesh)
     profiler = _Profiler(getattr(args, "profile_dir", None))
     best_r1, best_metrics = -1.0, {}
     global_step = int(state.step)
@@ -487,7 +489,7 @@ def run_pretrain(args, log=None) -> None:
             try:
                 eval_loader, eval_dataset = DATALOADER_DICT[eval_ds_name][
                     "test"](task.replace(dataset=eval_ds_name), tokenizer)
-                ev = Evaluator(model, task)
+                ev = Evaluator(model, task, mesh=mesh)
                 metrics = ev.run(state.params, eval_loader, eval_dataset,
                                  log, batch_stats=state.batch_stats)
                 writer.scalar("R1", metrics["R1"], epoch)
@@ -526,7 +528,8 @@ def run_extract(args, log=None) -> str:
     model, variables = factory.build_model(
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
-    ev = Evaluator(model, task, weight_title=cross.weight_title)
+    ev = Evaluator(model, task, weight_title=cross.weight_title,
+                   mesh=make_mesh(MeshSpec(dp=task.dp_size)))
     q, v, f, t, multi, cut_off = ev.cache_features(
         variables["params"], loader, dataset,
         batch_stats=variables.get("batch_stats"))

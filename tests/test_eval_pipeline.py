@@ -92,6 +92,50 @@ def test_msrvtt_eval_pipeline(store, tmp_path, tokenizer):
     assert metrics["R10"] == 100.0
 
 
+def test_mesh_sharded_eval_matches_single_device(store, tmp_path,
+                                                 tokenizer):
+    """Evaluator(mesh=...): feature blocks batch-sharded over the 8-device
+    data axis + replicated params must produce the SAME similarity matrix
+    and metrics as the default single-device evaluator — the one-program
+    equivalent of the reference's thread-replicated multi-GPU eval
+    (util.py:23-62, main_task_retrieval.py:448-477)."""
+    import pandas as pd
+
+    from hmmc_tpu.parallel import MeshSpec, make_mesh
+
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({
+        "video_id": [f"video{i}" for i in range(N_VIDEOS)],
+        "sentence": [f"a cat number {i} plays" for i in range(N_VIDEOS)],
+    }).to_csv(csv, index=False)
+    source = FrameSource(store, frames_per_video=FRAMES_STORED,
+                         mode="eval", resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), tokenizer, max_words=16,
+                           max_frames=4)
+    task = TaskConfig(do_eval=True, top_frames=2, use_frame_fea=True)
+    model = BirdModel(TINY, TINY_CROSS)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+        jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
+
+    def run_one(mesh):
+        loader = BatchLoader(ds, batch_size=3, num_workers=2)
+        # blocks of 8 divide the dp=8 axis; the final partial block is
+        # padded to 8 by _BlockedEncoder, so every device call is sharded
+        ev = Evaluator(model, task, query_block=8, text_block=8,
+                       video_block=8, mesh=mesh)
+        q, v, f, t, multi, cut = ev.cache_features(params, loader, ds)
+        return q, v, f, ev.similarity(params, q, v, f)
+
+    q0, v0, f0, sim0 = run_one(None)
+    mesh = make_mesh(MeshSpec(dp=8))
+    q1, v1, f1, sim1 = run_one(mesh)
+    np.testing.assert_allclose(q0, q1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f0, f1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sim0, sim1, rtol=1e-4, atol=1e-5)
+
+
 def test_vatex_multisentence_pipeline(store, tmp_path, tokenizer):
     base = tmp_path / "vatex"
     base.mkdir()
