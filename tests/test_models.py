@@ -32,6 +32,97 @@ def test_vit_shapes():
     np.testing.assert_allclose(pooled, hidden[:, 0, :], rtol=1e-6)
 
 
+def test_vit_3d_tube_patch():
+    """linear_patch='3d' (module_clip.py:291-311): the tube conv consumes
+    [N, F, H, W, 3] with a temporal kernel of 3 (pad 1, stride 1) and
+    yields per-frame pooled features [N*F, embed]; the VisualEncoder
+    routes the un-flattened video straight into it."""
+    import dataclasses
+
+    arch = dataclasses.replace(TINY, linear_patch="3d")
+    vit = VisionTransformer(arch)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 32, 32, 3)).astype(np.float32))
+    params = vit.init(jax.random.PRNGKey(0), x)
+    pooled = vit.apply(params, x)
+    assert pooled.shape == (2 * 3, 32)
+    # temporal kernel 3 => frame i's feature depends on frames i-1..i+1
+    # but NOT on i+2 (locality of the tube conv + per-frame transformer)
+    x2 = x.at[:, 2].set(0.0)
+    p2 = vit.apply(params, x2)
+    assert not np.allclose(p2[1::3], pooled[1::3])   # neighbor changed
+    np.testing.assert_allclose(p2[0::3], pooled[0::3], rtol=1e-5)
+
+
+def test_visual_encoder_3d_and_import_inflation():
+    """VisualEncoder with a 3d arch + import_clip_visual(inflate_3d=True):
+    a 2d OpenAI conv kernel inflates to the tube's center tap (zero side
+    taps), so the 3d tower's first-step outputs EQUAL the 2d tower's on
+    the same weights — the CLIP4Clip-style init the reference vendors
+    (module_clip.py:293-305)."""
+    import dataclasses
+
+    from hmmc_tpu.train import checkpoint as ckpt
+
+    g = np.random.default_rng(1)
+    video = jnp.asarray(g.normal(size=(2, 3, 32, 32, 3)).astype(np.float32))
+
+    enc2d = VisualEncoder(TINY, TINY_CROSS, use_temp=False)
+    v2d = enc2d.init(jax.random.PRNGKey(0), video)["params"]
+
+    # export-shaped state dict from the 2d params (OpenAI names)
+    sd = {}
+    k = np.asarray(v2d["visual"]["conv1"]["kernel"])  # [kh, kw, I, O]
+    sd["visual.conv1.weight"] = np.ascontiguousarray(
+        k.transpose(3, 2, 0, 1))
+    sd["visual.class_embedding"] = np.asarray(
+        v2d["visual"]["class_embedding"])
+    sd["visual.positional_embedding"] = np.asarray(
+        v2d["visual"]["positional_embedding"])
+    sd["visual.proj"] = np.asarray(v2d["visual"]["proj"])
+    for ln in ("ln_pre", "ln_post"):
+        sd[f"visual.{ln}.weight"] = np.asarray(v2d["visual"][ln]["scale"])
+        sd[f"visual.{ln}.bias"] = np.asarray(v2d["visual"][ln]["bias"])
+    tr = v2d["visual"]["transformer"]["resblocks"]["block"]
+    n_layers = np.asarray(
+        jax.tree_util.tree_leaves(tr)[0]).shape[0]
+    for i in range(n_layers):
+        b = f"visual.transformer.resblocks.{i}"
+        blk = jax.tree_util.tree_map(lambda a, i=i: np.asarray(a)[i], tr)
+        sd[f"{b}.attn.in_proj_weight"] = blk["attn"]["in_proj_kernel"].T
+        sd[f"{b}.attn.in_proj_bias"] = blk["attn"]["in_proj_bias"]
+        sd[f"{b}.attn.out_proj.weight"] = blk["attn"]["out_kernel"].T
+        sd[f"{b}.attn.out_proj.bias"] = blk["attn"]["out_bias"]
+        sd[f"{b}.ln_1.weight"] = blk["ln_1"]["scale"]
+        sd[f"{b}.ln_1.bias"] = blk["ln_1"]["bias"]
+        sd[f"{b}.ln_2.weight"] = blk["ln_2"]["scale"]
+        sd[f"{b}.ln_2.bias"] = blk["ln_2"]["bias"]
+        sd[f"{b}.mlp.c_fc.weight"] = blk["c_fc"]["kernel"].T
+        sd[f"{b}.mlp.c_fc.bias"] = blk["c_fc"]["bias"]
+        sd[f"{b}.mlp.c_proj.weight"] = blk["c_proj"]["kernel"].T
+        sd[f"{b}.mlp.c_proj.bias"] = blk["c_proj"]["bias"]
+
+    arch3d = dataclasses.replace(TINY, linear_patch="3d")
+    enc3d = VisualEncoder(arch3d, TINY_CROSS, use_temp=False)
+    init3d = enc3d.init(jax.random.PRNGKey(0), video)["params"]
+    imported = ckpt.import_clip_visual(sd, "visual", inflate_3d=True)
+
+    def shapes(t):
+        return {jax.tree_util.keystr(p): np.shape(l) for p, l in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    assert shapes(init3d["visual"]) == shapes(imported)
+
+    p3d = {"visual": jax.tree_util.tree_map(jnp.asarray, imported)}
+    v_feat2, frames2 = enc2d.apply({"params": v2d}, video)
+    v_feat3, frames3 = enc3d.apply({"params": p3d}, video)
+    # center-tap inflation + zero padding => identical per-frame features
+    # wherever the temporal taps see only the frame itself... the side
+    # taps are ZERO, so EVERY frame matches the 2d tower exactly
+    np.testing.assert_allclose(frames3, frames2, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(v_feat3, v_feat2, rtol=2e-5, atol=2e-6)
+
+
 def test_clip_text_eot_pooling():
     tower = ClipTextTower(TINY)
     ids = jnp.array([[5, 7, 255, 0, 0, 0, 0, 0],
