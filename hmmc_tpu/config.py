@@ -93,6 +93,14 @@ CLIP_ARCH = {
         vision_patch_size=14, context_length=77, vocab_size=49408,
         transformer_width=768, transformer_heads=12, transformer_layers=12,
     ),
+    # The high-resolution L/14 release (module_clip.py:29): same towers,
+    # 336px input -> 24x24 patch grid (577 tokens/frame). from_state_dict
+    # detects it from the position-embedding length alone.
+    "ViT-L/14@336px": dict(
+        embed_dim=768, image_resolution=336, vision_layers=24, vision_width=1024,
+        vision_patch_size=14, context_length=77, vocab_size=49408,
+        transformer_width=768, transformer_heads=12, transformer_layers=12,
+    ),
     # ResNet variants (module_clip.py:21-25; tuple vision_layers selects
     # the ModifiedResNet tower, mirroring the reference's shape-driven
     # build, module_clip.py:536-549)

@@ -362,6 +362,43 @@ def test_rn_zoo_name_table_matches_shape_detection(name):
     assert ClipArch.from_state_dict(sd) == want
 
 
+def _vit_shape_sd(want):
+    """Shape-only OpenAI ViT-CLIP state dict at a named geometry — only
+    the keys from_state_dict consults (module_clip.py:530-545)."""
+    w, p = want.vision_width, want.vision_patch_size
+    grid = want.image_resolution // p
+    sd = {
+        "visual.proj": _Shape(w, want.embed_dim),
+        "visual.conv1.weight": _Shape(w, 3, p, p),
+        "visual.positional_embedding": _Shape(grid * grid + 1, w),
+        "token_embedding.weight": _Shape(want.vocab_size,
+                                         want.transformer_width),
+        "positional_embedding": _Shape(want.context_length,
+                                       want.transformer_width),
+        "text_projection": _Shape(want.transformer_width, want.embed_dim),
+        "ln_final.weight": _Shape(want.transformer_width),
+    }
+    for i in range(want.vision_layers):
+        sd[f"visual.transformer.resblocks.{i}.attn.in_proj_weight"] = \
+            _Shape(3 * w, w)
+    for i in range(want.transformer_layers):
+        sd[f"transformer.resblocks.{i}.attn.in_proj_weight"] = \
+            _Shape(3 * want.transformer_width, want.transformer_width)
+    return sd
+
+
+@pytest.mark.parametrize(
+    "name", ["ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px"])
+def test_vit_zoo_name_table_matches_shape_detection(name):
+    """The ViT half of the reference's model zoo (module_clip.py:26-29),
+    including the high-resolution ViT-L/14@336px release (577-token
+    grid): shape detection at the real released geometry agrees with the
+    CLIP_ARCH name table, so name-driven and checkpoint-driven builds
+    coincide across the whole zoo."""
+    want = ClipArch.by_name(name)
+    assert ClipArch.from_state_dict(_vit_shape_sd(want)) == want
+
+
 def test_scaled_rn_tiny_import_and_forward():
     """The x4-style scaled stage pattern (4/6/10/6 blocks, non-default
     stem width) builds, imports, and forwards — stage-count and width
