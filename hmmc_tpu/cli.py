@@ -100,6 +100,11 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
     p.add_argument("--sp_size", type=int, default=1,
                    help="frame-axis sequence-parallel shards (video sharded "
                         "[B/dp, F/sp, ...]; max_frames %% sp_size must be 0)")
+    p.add_argument("--dcn_dp_size", type=int, default=1,
+                   help="multi-slice: slice-granules the data axis spans "
+                        "over DCN (mesh laid out slice-major so seq/model "
+                        "collectives stay on ICI; dp_size stays the TOTAL "
+                        "data shards)")
     p.add_argument("--use_pallas_attention", action="store_true")
     p.add_argument("--optim_bf16_state", action="store_true",
                    help="store BertAdam m/v moments in bf16 (fp32 math, "

@@ -293,6 +293,11 @@ class TaskConfig:
     # frames — activation HBM drops sp-fold for long-frame configs
     # (max_frames must be divisible by sp)
     sp_size: int = 1
+    # multi-slice: how many slice-granules the data axis spans over DCN
+    # (the mesh is laid out slice-major, so seq/model collectives and the
+    # inner data-parallel reduce stay on ICI; parallel/mesh.make_mesh).
+    # dp_size stays the TOTAL data-parallel size; 1 = single slice.
+    dcn_dp_size: int = 1
     # use Pallas fused attention where profitable (falls back to XLA attn)
     use_pallas_attention: bool = False
     # store BertAdam m/v moments in bf16 (updates still compute in fp32):
@@ -327,6 +332,11 @@ class TaskConfig:
             raise ValueError(f"unknown frame_sample {self.frame_sample!r}")
         if self.frame_sample_len not in ("fix", "dynamic"):
             raise ValueError(f"unknown frame_sample_len {self.frame_sample_len!r}")
+        if self.dcn_dp_size > 1 and self.dp_size and \
+                self.dp_size % self.dcn_dp_size:
+            raise ValueError(
+                f"dp_size ({self.dp_size}) must be divisible by "
+                f"dcn_dp_size ({self.dcn_dp_size})")
         if self.sp_size > 1 and self.max_frames % self.sp_size:
             raise ValueError(
                 f"max_frames ({self.max_frames}) must be divisible by "

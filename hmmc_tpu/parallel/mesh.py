@@ -42,24 +42,86 @@ MODEL_AXIS = "model"
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    dp: int = 0      # 0 = all remaining devices
+    dp: int = 0      # 0 = all remaining devices (TOTAL data shards)
     tp: int = 1
     sp: int = 1      # frame-axis sequence-parallel shards
+    # multi-slice: how many slice-granules the data axis spans over DCN.
+    # dp stays the TOTAL data-parallel size; dp // dcn_dp shards live
+    # inside each slice. 1 = single slice (ICI only).
+    dcn_dp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshSpec":
         dp = self.dp or (n_devices // (self.tp * self.sp))
-        return MeshSpec(dp=dp, tp=self.tp, sp=self.sp)
+        if self.dcn_dp > 1 and dp % self.dcn_dp:
+            raise ValueError(
+                f"dp ({dp}) must be divisible by dcn_dp ({self.dcn_dp})")
+        return MeshSpec(dp=dp, tp=self.tp, sp=self.sp, dcn_dp=self.dcn_dp)
+
+
+def _slice_groups(devices, dcn_dp, slice_key=None):
+    """Partition ``devices`` into dcn_dp slice groups, preserving the
+    given order inside each group (jax.devices() order is ICI-adjacent
+    within a slice).
+
+    Group key preference: an explicit ``slice_key`` fn (tests), the
+    device's ``slice_index`` (multi-slice TPU), ``process_index``
+    (multi-host CPU/GPU), else contiguous chunks (single-process
+    backends, where any split is equally valid)."""
+    if slice_key is None:
+        if getattr(devices[0], "slice_index", None) is not None:
+            slice_key = lambda d: d.slice_index
+        elif len({d.process_index for d in devices}) > 1:
+            slice_key = lambda d: d.process_index
+        else:
+            chunk = len(devices) // dcn_dp
+            order = {id(d): i for i, d in enumerate(devices)}
+            slice_key = lambda d: order[id(d)] // chunk
+    groups = {}
+    for d in devices:
+        groups.setdefault(slice_key(d), []).append(d)
+    if len(groups) != dcn_dp:
+        raise ValueError(
+            f"dcn_dp={dcn_dp} but the devices form {len(groups)} slice "
+            f"group(s) (keys: {sorted(groups)})")
+    return [groups[k] for k in sorted(groups)]
 
 
 def make_mesh(spec: MeshSpec = MeshSpec(),
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+              devices: Optional[Sequence[jax.Device]] = None,
+              slice_key=None) -> Mesh:
+    """Build the (data, seq, model) mesh.
+
+    Single slice (dcn_dp == 1): a flat reshape — devices in jax.devices()
+    order are ICI-adjacent, so every axis rides ICI.
+
+    Multi-slice (dcn_dp > 1): the grid is laid out slice-major on the
+    data axis — each slice contributes one contiguous [dp/dcn_dp, sp, tp]
+    block, so the seq/model collectives and the inner data-parallel
+    reduce stay INSIDE a slice (ICI) and only the outer data axis — whose
+    lone collective is the once-per-step gradient psum, the one transfer
+    that amortizes over a full step — crosses DCN. This is the hybrid
+    ICI x DCN recipe of jax's mesh_utils.create_hybrid_device_mesh,
+    expressed directly so it also works on backends without
+    ``slice_index`` (the CPU meshes the tests run on)."""
     devices = list(devices if devices is not None else jax.devices())
     spec = spec.resolve(len(devices))
     n = spec.dp * spec.sp * spec.tp
     if n > len(devices):
         raise ValueError(
             f"mesh {spec} needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(spec.dp, spec.sp, spec.tp)
+    if spec.dcn_dp > 1:
+        per = n // spec.dcn_dp  # devices per slice block
+        groups = _slice_groups(devices, spec.dcn_dp, slice_key)
+        short = [i for i, g in enumerate(groups) if len(g) < per]
+        if short:
+            raise ValueError(
+                f"slice group(s) {short} have fewer than {per} devices")
+        grid = np.concatenate(
+            [np.asarray(g[:per], dtype=object).reshape(
+                spec.dp // spec.dcn_dp, spec.sp, spec.tp)
+             for g in groups], axis=0)
+    else:
+        grid = np.asarray(devices[:n]).reshape(spec.dp, spec.sp, spec.tp)
     return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 

@@ -123,7 +123,8 @@ def run_eval(args, log=None) -> Dict[str, float]:
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
     ev = Evaluator(model, task, weight_title=cross.weight_title,
-                   mesh=make_mesh(MeshSpec(dp=task.dp_size)))
+                   mesh=make_mesh(MeshSpec(dp=task.dp_size,
+                                           dcn_dp=task.dcn_dp_size)))
     metrics = ev.run(variables["params"], loader, dataset, log,
                      batch_stats=variables.get("batch_stats"))
     return metrics
@@ -183,7 +184,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
         warmup_proportion=task.warmup_proportion, t_total=t_total,
         state_dtype=jnp.bfloat16 if task.optim_bf16_state else None)
     mesh = make_mesh(MeshSpec(dp=task.dp_size, tp=task.tp_size,
-                              sp=task.sp_size))
+                              sp=task.sp_size, dcn_dp=task.dcn_dp_size))
     if task.tp_size > 1:
         params = shard_params(mesh, params)
     state = FinetuneState.create(params, tx,
@@ -374,7 +375,8 @@ def run_pretrain(args, log=None) -> None:
     state = PretrainState.create(variables, tx, queues)
     if pretrain_import:
         state = _apply_pretrain_import(state, pretrain_import, log)
-    mesh = make_mesh(MeshSpec(dp=task.dp_size, sp=task.sp_size))
+    mesh = make_mesh(MeshSpec(dp=task.dp_size, sp=task.sp_size,
+                              dcn_dp=task.dcn_dp_size))
     opt_shardings = None
     if task.zero_opt:
         opt_sharded, opt_shardings = shard_opt_state(mesh, state.opt_state)
@@ -529,7 +531,8 @@ def run_extract(args, log=None) -> str:
         task, cross, vocab_size=tokenizer.vocab_size,
         clip_model_path=args.clip_model, init_model_path=task.init_model)
     ev = Evaluator(model, task, weight_title=cross.weight_title,
-                   mesh=make_mesh(MeshSpec(dp=task.dp_size)))
+                   mesh=make_mesh(MeshSpec(dp=task.dp_size,
+                                           dcn_dp=task.dcn_dp_size)))
     q, v, f, t, multi, cut_off = ev.cache_features(
         variables["params"], loader, dataset,
         batch_stats=variables.get("batch_stats"))

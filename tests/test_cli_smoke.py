@@ -162,6 +162,23 @@ def test_run_finetune_sequence_parallel(data_dir, cross_json, tmp_path):
     assert os.path.isdir(os.path.join(out, "ckpt"))
 
 
+def test_run_finetune_hybrid_dcn_mesh(data_dir, cross_json, tmp_path):
+    """--dcn_dp_size 2 through the full runner: the data axis spans two
+    slice-granules (slice-major hybrid ICI x DCN layout,
+    parallel/mesh.make_mesh) — training and eval complete with finite
+    metrics on the 8-virtual-device mesh. The reference's DDP has no
+    topology notion at all (main_task_retrieval.py:207)."""
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "dcn")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "msrvtt",
+                  "--dcn_dp_size", "2"])
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
 def test_sp_size_must_divide_max_frames():
     from hmmc_tpu.cli import to_task_config
 

@@ -199,3 +199,54 @@ def test_zero1_opt_sharding_invariance_and_memory():
         st_rep.params, st_z.params)
     np.testing.assert_allclose(float(m_rep["loss"]), float(m_z["loss"]),
                                rtol=1e-6)
+
+
+def test_hybrid_dcn_mesh_layout_and_invariance():
+    """--dcn_dp_size (multi-slice hybrid mesh): the grid must be laid out
+    slice-major on the data axis — every (seq, model) sub-block and the
+    inner data shards of one slice stay on that slice's devices (ICI), so
+    only the outer data axis (whose lone collective is the once-per-step
+    gradient psum) crosses DCN. Verified with an INTERLEAVED fake
+    slice_key (even/odd device index), so the hybrid ordering genuinely
+    differs from the flat reshape — and the training step on that
+    reordered mesh must still match the dp=8 baseline exactly (device
+    placement is semantics-free). No reference counterpart: DDP has no
+    topology notion at all (main_task_retrieval.py:207)."""
+    import pytest
+
+    devs = jax.devices()[:8]
+    key = {id(d): i % 2 for i, d in enumerate(devs)}  # interleaved slices
+    mesh = make_mesh(MeshSpec(dp=4, tp=2, dcn_dp=2), devices=devs,
+                     slice_key=lambda d: key[id(d)])
+    assert dict(mesh.shape) == {"data": 4, "seq": 1, "model": 2}
+    grid = np.asarray(mesh.devices)
+    # slice-major data axis: rows 0-1 all slice 0, rows 2-3 all slice 1;
+    # every tp pair lives inside one slice
+    for d_idx in range(4):
+        keys = {key[id(d)] for d in grid[d_idx].ravel()}
+        assert keys == {d_idx // 2}, (d_idx, keys)
+
+    # spec errors: indivisible dp; wrong group count
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(dp=4, dcn_dp=3), devices=devs)
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(dp=4, tp=2, dcn_dp=4), devices=devs,
+                  slice_key=lambda d: key[id(d)])  # 2 groups, not 4
+
+    # training-step invariance on the reordered mesh
+    model, batch, params, tx = _setup()
+    step = make_finetune_step(model, tx, TINY_CROSS)
+    out = {}
+    for name, m in (("dp8", make_mesh(MeshSpec(dp=8))),
+                    ("dcn", make_mesh(MeshSpec(dp=8, dcn_dp=2),
+                                      slice_key=lambda d: key[id(d)]))):
+        state = FinetuneState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx)
+        state, met = step(state, shard_batch(m, dict(batch)))
+        out[name] = (float(met["loss"]), float(met["grad_norm"]),
+                     np.asarray(state.params["text_encoder"]["clip_text"][
+                         "token_embedding"]))
+    np.testing.assert_allclose(out["dp8"][0], out["dcn"][0], rtol=1e-5)
+    np.testing.assert_allclose(out["dp8"][1], out["dcn"][1], rtol=1e-4)
+    np.testing.assert_allclose(out["dp8"][2], out["dcn"][2], rtol=1e-5,
+                               atol=1e-7)
