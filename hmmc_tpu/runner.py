@@ -28,7 +28,7 @@ from hmmc_tpu.ops import image_ops
 from hmmc_tpu.parallel import (MeshSpec, make_mesh, shard_batch,
                                shard_opt_state, shard_params)
 from hmmc_tpu.train import orbax_io
-from hmmc_tpu.train.optimization import build_optimizer
+from hmmc_tpu.train.optimization import build_optimizer, scheduled_lr
 from hmmc_tpu.train.trainer import (
     FinetuneState, PretrainState, make_finetune_step, make_finetune_vt_step,
     make_pretrain_step)
@@ -280,6 +280,9 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                         "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
                         epoch, global_step, loss, t_data, t_step)
                     writer.scalar("loss", loss, global_step)
+                    writer.scalar("lr", scheduled_lr(
+                        task.lr, global_step, t_total,
+                        warmup=task.warmup_proportion), global_step)
                     t_data = t_step = 0.0
                 t0 = time.time()
             save(epoch, batch_in_epoch, epoch_end=True)
@@ -475,6 +478,9 @@ def run_pretrain(args, log=None) -> None:
                     for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
                               "loss_MLM"):
                         writer.scalar(k, float(metrics[k]), global_step)
+                    writer.scalar("lr", scheduled_lr(
+                        task.lr, global_step, t_total,
+                        warmup=task.warmup_proportion), global_step)
             save(epoch, batch_in_epoch, epoch_end=True)
             if task.output_dir:
                 orbax_io.save_reference_checkpoint(

@@ -197,6 +197,18 @@ def bert_adam(
     return optax.GradientTransformation(init, update)
 
 
+def scheduled_lr(lr: float, step: int, t_total: int,
+                 schedule: str = "warmup_cosine",
+                 warmup: float = 0.002) -> float:
+    """The scalar lr BertAdam applies at ``step`` — the reference exposes
+    this as ``optimizer.get_lr()[0]`` and logs it to tensorboard every
+    display step (optimization.py:86-97, main_task_retrieval.py:311)."""
+    if t_total <= 0:
+        return float(lr)
+    mult = SCHEDULES[schedule](step / t_total, warmup)
+    return float(lr * float(mult))
+
+
 def build_optimizer(
     params: Any,
     lr: float,

@@ -7,8 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hmmc_tpu.train.optimization import (
-    bert_adam, build_optimizer, decay_mask, lr_tree, warmup_constant,
-    warmup_cosine, warmup_linear)
+    bert_adam, build_optimizer, decay_mask, lr_tree, scheduled_lr,
+    warmup_constant, warmup_cosine, warmup_linear)
 
 
 def test_schedules():
@@ -24,6 +24,23 @@ def test_schedules():
     np.testing.assert_allclose(float(warmup_constant(0.5, 0.1)), 1.0)
     np.testing.assert_allclose(
         float(warmup_linear(0.5, 0.1)), (0.5 - 1) / (0.1 - 1), rtol=1e-6)
+
+
+def test_scheduled_lr_matches_reference_get_lr():
+    # reference optimization.py:86-97: lr_scheduled =
+    #   lr * schedule_fct(step / t_total, warmup); logged at
+    #   main_task_retrieval.py:311
+    lr, t_total, warmup = 1e-4, 100, 0.1
+    # warmup phase
+    np.testing.assert_allclose(
+        scheduled_lr(lr, 5, t_total, warmup=warmup),
+        lr * (0.05 / warmup), rtol=1e-6)
+    # cosine phase (ignores warmup offset — reference quirk)
+    np.testing.assert_allclose(
+        scheduled_lr(lr, 50, t_total, warmup=warmup),
+        lr * 0.5 * (1 + np.cos(np.pi * 0.5)), atol=1e-12)
+    # t_total<=0 degenerates to the flat lr
+    assert scheduled_lr(lr, 5, 0, warmup=warmup) == lr
 
 
 def test_bert_adam_update_math():
