@@ -280,8 +280,11 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                         "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
                         epoch, global_step, loss, t_data, t_step)
                     writer.scalar("loss", loss, global_step)
+                    # the reference logs optimizer.get_lr()[0] — group 0
+                    # is the CLIP decay group at lr*coef_lr
+                    # (main_task_retrieval.py:193,311)
                     writer.scalar("lr", scheduled_lr(
-                        task.lr, global_step, t_total,
+                        task.lr * task.coef_lr, global_step, t_total,
                         warmup=task.warmup_proportion), global_step)
                     t_data = t_step = 0.0
                 t0 = time.time()
@@ -479,7 +482,7 @@ def run_pretrain(args, log=None) -> None:
                               "loss_MLM"):
                         writer.scalar(k, float(metrics[k]), global_step)
                     writer.scalar("lr", scheduled_lr(
-                        task.lr, global_step, t_total,
+                        task.lr * task.coef_lr, global_step, t_total,
                         warmup=task.warmup_proportion), global_step)
             save(epoch, batch_in_epoch, epoch_end=True)
             if task.output_dir:
