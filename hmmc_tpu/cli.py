@@ -121,6 +121,14 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                         "(until_module.py get_dual_matrix) to the eval "
                         "similarity matrix — an inference-time R@1 "
                         "booster; off = reference eval behavior")
+    p.add_argument("--token_filter_keep", type=int, default=0,
+                   help="eval/extract only: keep this many ViT tokens "
+                        "(incl. CLS) after --token_filter_layer blocks, "
+                        "ranked by CLS attention (attention-aware token "
+                        "filtering, arXiv 2506.01519). 0 = off; training "
+                        "always runs the full tower")
+    p.add_argument("--token_filter_layer", type=int, default=4,
+                   help="ViT block count run before token filtering")
     p.add_argument("--use_randaugment", action="store_true",
                    help="stack device-side RandAugment(N, M) on the "
                         "pretrain SimCLR aug (the reference imports "

@@ -242,6 +242,13 @@ class TaskConfig:
     do_extract: bool = False         # feature-bank export (serving)
     use_randaugment: bool = False    # device-side RandAugment in pretrain
     eval_dual_softmax: bool = False  # DSL reweighting at eval (opt-in)
+    # attention-aware token filtering for eval/extract/serving feature
+    # computation (ops/token_filter.py; arXiv 2506.01519): after
+    # token_filter_layer ViT blocks, keep only the token_filter_keep
+    # tokens (incl. CLS) the CLS query attends to most. 0 = off
+    # (default — training and parity paths always run the full tower).
+    token_filter_keep: int = 0
+    token_filter_layer: int = 4
     randaugment_n: int = 2
     randaugment_m: int = 10
     task: str = "retrieval"          # retrieval | retrieval_VT

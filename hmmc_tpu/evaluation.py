@@ -126,9 +126,27 @@ class Evaluator:
         def encode_text(variables, ids, mask):
             return model.apply(variables, ids, mask, method="encode_text")
 
-        def encode_video(variables, video_u8):
-            video = image_ops.normalize(image_ops.to_float(video_u8))
-            return model.apply(variables, video, method="encode_video")
+        tf_keep = int(getattr(task, "token_filter_keep", 0) or 0)
+        if tf_keep > 0:
+            # attention-aware token filtering (ops/token_filter.py):
+            # eval/extract feature computation only — same params, pruned
+            # per-frame ViT. Guarded to 2d-patch ViT towers.
+            from hmmc_tpu.ops import token_filter
+
+            if model.arch.is_resnet or model.arch.linear_patch == "3d":
+                raise ValueError(
+                    "--token_filter_keep supports 2d-patch ViT towers only")
+
+            def encode_video(variables, video_u8):
+                video = image_ops.normalize(image_ops.to_float(video_u8))
+                return token_filter.encode_video_filtered(
+                    variables, video, model.arch, model.cross_config,
+                    model.use_temp, task.token_filter_layer, tf_keep,
+                    dtype=model.dtype)
+        else:
+            def encode_video(variables, video_u8):
+                video = image_ops.normalize(image_ops.to_float(video_u8))
+                return model.apply(variables, video, method="encode_video")
 
         self._encode_text = jax.jit(encode_text)
         self._encode_video = jax.jit(encode_video)

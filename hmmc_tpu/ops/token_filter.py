@@ -1,0 +1,186 @@
+"""Attention-aware token filtering for the eval/serving visual path.
+
+Opt-in efficiency technique (NOT in the reference): after ``filter_at``
+ViT blocks, rank the patch tokens by how much the [CLS] query attends to
+them (head-mean of that block's fp32 softmax row) and keep only the
+top-``keep`` tokens (CLS always survives); the remaining blocks run on
+the pruned [N, keep, D] sequence. ``keep`` is static, so the pruned
+program has fixed shapes and XLA tiles it onto the MXU exactly like the
+full one — the saving is real FLOPs/HBM, not dynamic-shape bookkeeping.
+The idea follows "Speed-up of Vision Transformer Models by
+Attention-aware Token Filtering" (arXiv 2506.01519); the reference
+framework has no counterpart (its ViT always runs all 50 patch tokens,
+module_clip.py:297-325).
+
+Scope: feature extraction only — `--do_eval` / `--do_extract` / serving
+banks (Evaluator wires it when ``--token_filter_keep`` is set). Training
+always runs the full tower; retrieval quality at a given (layer, keep)
+must be validated on the target dataset before deploying (this machine
+has no real eval data, so only throughput is benchmarked here —
+tools/bench_tokenfilter.py).
+
+Implementation note: the flax towers stack per-layer parameters along a
+leading [layers] axis (models/layers.Transformer via nn.scan). Splitting
+the module into "blocks before / blocks after the filter" would change
+that parameter layout and break checkpoint import, so this module is a
+pure-function forward over the SAME parameter pytree: it indexes the
+stacked leaves per layer and reuses :func:`ops.attention
+.multi_head_attention`, and is tested equal to ``model.encode_video``
+when ``keep`` covers every token.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from hmmc_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+def _ln(x: jnp.ndarray, p, eps: float = 1e-5) -> jnp.ndarray:
+    """fp32-statistics LayerNorm (models/layers.LayerNorm)."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig)
+
+
+def _quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    import jax
+
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _block(x: jnp.ndarray, stacked, i: int, num_heads: int,
+           return_weights: bool = False):
+    """One pre-LN residual attention block from the stacked [layers, ...]
+    parameter leaves at layer index ``i`` (models/layers
+    .ResidualAttentionBlock semantics)."""
+    attn = stacked["attn"]
+    dtype = x.dtype
+    h = _ln(x, {"scale": stacked["ln_1"]["scale"][i],
+                "bias": stacked["ln_1"]["bias"][i]})
+    out = multi_head_attention(
+        h, attn["in_proj_kernel"][i], attn["in_proj_bias"][i],
+        attn["out_kernel"][i], attn["out_bias"][i], num_heads,
+        return_weights=return_weights)
+    weights = None
+    if return_weights:
+        out, weights = out
+    x = x + out
+    h = _ln(x, {"scale": stacked["ln_2"]["scale"][i],
+                "bias": stacked["ln_2"]["bias"][i]})
+    h = jnp.dot(h, stacked["c_fc"]["kernel"][i].astype(dtype))
+    h = h + stacked["c_fc"]["bias"][i].astype(dtype)
+    h = _quick_gelu(h)
+    h = jnp.dot(h, stacked["c_proj"]["kernel"][i].astype(dtype))
+    h = h + stacked["c_proj"]["bias"][i].astype(dtype)
+    x = x + h
+    return (x, weights) if return_weights else x
+
+
+def vit_encode_filtered(
+    vit_params,
+    pixels: jnp.ndarray,
+    vision_layers: int,
+    vision_heads: int,
+    filter_at: int,
+    keep: int,
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Pooled CLIP-ViT forward ([N, H, W, 3] -> [N, embed_dim] fp32) with
+    token filtering after ``filter_at`` blocks (2d-patch towers only).
+
+    ``keep`` counts the surviving tokens INCLUDING the CLS token; when it
+    covers the whole sequence the output equals models/vit
+    .VisionTransformer exactly (tested)."""
+    kernel = vit_params["conv1"]["kernel"]
+    patch = kernel.shape[0]
+    x = lax.conv_general_dilated(
+        pixels.astype(dtype), kernel.astype(dtype),
+        window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n, gh, gw, width = x.shape
+    x = x.reshape(n, gh * gw, width)
+    cls = jnp.broadcast_to(
+        vit_params["class_embedding"].astype(dtype), (n, 1, width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vit_params["positional_embedding"].astype(dtype)
+    x = _ln(x, vit_params["ln_pre"])
+
+    stacked = vit_params["transformer"]["resblocks"]["block"]
+    filter_at = max(1, min(int(filter_at), vision_layers))
+    keep = min(int(keep), x.shape[1])
+
+    weights = None
+    for i in range(filter_at):
+        need = i == filter_at - 1 and keep < x.shape[1]
+        if need:
+            x, weights = _block(x, stacked, i, vision_heads,
+                                return_weights=True)
+        else:
+            x = _block(x, stacked, i, vision_heads)
+
+    if weights is not None:
+        # CLS-query attention row, head-mean: how much the pooled token
+        # draws from each patch at the filter layer
+        scores = weights[:, :, 0, 1:].mean(axis=1)          # [N, L-1]
+        idx = lax.top_k(scores, keep - 1)[1]                # [N, keep-1]
+        # restore sequence order (cosmetic — the blocks are permutation
+        # equivariant once positions are added) and re-attach CLS
+        idx = jnp.sort(idx, axis=-1) + 1
+        idx = jnp.concatenate(
+            [jnp.zeros((n, 1), idx.dtype), idx], axis=1)    # [N, keep]
+        x = jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    for i in range(filter_at, vision_layers):
+        x = _block(x, stacked, i, vision_heads)
+
+    pooled = _ln(x[:, 0, :], vit_params["ln_post"])
+    pooled = pooled @ vit_params["proj"].astype(dtype)
+    return pooled.astype(jnp.float32)
+
+
+def encode_video_filtered(
+    variables,
+    video: jnp.ndarray,
+    arch,
+    cross_config,
+    use_temp: bool,
+    filter_at: int,
+    keep: int,
+    dtype: Dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ``model.encode_video`` (models/visual.VisualEncoder)
+    with the per-frame ViT running token-filtered. Returns
+    (video_feature [B, D], frame_features [B, F, D]), both fp32."""
+    if arch.is_resnet or arch.linear_patch == "3d":
+        raise ValueError(
+            "token filtering supports 2d-patch ViT towers only")
+    ve = variables["params"]["visual_encoder"]
+    b, f, h, w, c = video.shape
+    per_frame = vit_encode_filtered(
+        ve["visual"], video.reshape(b * f, h, w, c),
+        arch.vision_layers, arch.vision_heads, filter_at, keep, dtype)
+    hidden = per_frame.reshape(b, f, per_frame.shape[-1])
+    frame_output = hidden
+
+    if use_temp:
+        pos = ve["frame_position_embeddings"]
+        x = hidden + pos[:f].astype(hidden.dtype)
+        x = x.astype(dtype)
+        stacked = ve["temporal_transformer"]["resblocks"]["block"]
+        for i in range(cross_config.temporal_hidden_layers):
+            x = _block(x, stacked, i, cross_config.temporal_attention_heads)
+        hidden = x.astype(jnp.float32) + hidden
+
+    normed = hidden / jnp.linalg.norm(hidden, axis=-1, keepdims=True)
+    video_feature = jnp.mean(normed, axis=1)
+    return video_feature.astype(jnp.float32), frame_output

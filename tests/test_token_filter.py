@@ -1,0 +1,125 @@
+"""Attention-aware token filtering (ops/token_filter.py).
+
+Correctness contract: the pure-function forward over the SAME parameter
+pytree must equal ``model.encode_video`` exactly when ``keep`` covers
+every token; with real filtering it must produce fixed-shape, finite,
+different features; the Evaluator wires it for eval/extract only and
+rejects non-2d-patch towers."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+from hmmc_tpu.evaluation import Evaluator
+from hmmc_tpu.models.retrieval import BirdModel
+from hmmc_tpu.ops import token_filter
+
+TINY = ClipArch(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=16, context_length=16, vocab_size=49408,
+    transformer_width=32, transformer_heads=2, transformer_layers=2)
+TINY_CROSS = CrossConfig(
+    temporal_hidden_size=32, temporal_attention_heads=2,
+    temporal_hidden_layers=2, max_position_embeddings=8)
+N_TOKENS = (32 // 16) ** 2 + 1  # 4 patches + CLS
+
+
+def _model_and_params():
+    model = BirdModel(TINY, TINY_CROSS)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32),
+        jnp.ones((1, 16), jnp.int32), jnp.zeros((1, 4, 32, 32, 3)))["params"]
+    video = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    return model, params, video
+
+
+def test_keep_all_equals_model_encode_video():
+    model, params, video = _model_and_params()
+    v_ref, f_ref = model.apply({"params": params}, video,
+                               method="encode_video")
+    v_tf, f_tf = token_filter.encode_video_filtered(
+        {"params": params}, video, TINY, TINY_CROSS, True,
+        filter_at=1, keep=N_TOKENS, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(v_tf), np.asarray(v_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_tf), np.asarray(f_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_filtering_prunes_and_changes_features():
+    model, params, video = _model_and_params()
+    v_ref, f_ref = model.apply({"params": params}, video,
+                               method="encode_video")
+    v_tf, f_tf = token_filter.encode_video_filtered(
+        {"params": params}, video, TINY, TINY_CROSS, True,
+        filter_at=1, keep=3, dtype=jnp.float32)
+    assert v_tf.shape == v_ref.shape and f_tf.shape == f_ref.shape
+    assert np.isfinite(np.asarray(v_tf)).all()
+    assert not np.allclose(np.asarray(v_tf), np.asarray(v_ref))
+    # the pooled feature still correlates with the full tower's (the
+    # filter keeps the tokens CLS actually reads): cosine > random
+    a = np.asarray(v_tf) / np.linalg.norm(v_tf, axis=-1, keepdims=True)
+    b = np.asarray(v_ref) / np.linalg.norm(v_ref, axis=-1, keepdims=True)
+    assert float((a * b).sum(-1).mean()) > 0.5
+
+
+def test_evaluator_wires_token_filter(tmp_path):
+    import pandas as pd
+
+    from hmmc_tpu.data.datasets import FrameSource, MsrvttEvalDataset
+    from hmmc_tpu.data.framepack import FramePackWriter
+    from hmmc_tpu.data.loader import BatchLoader
+    from hmmc_tpu.tokenization import ClipTokenizer
+
+    path = str(tmp_path / "frames.fpk")
+    rng = np.random.default_rng(0)
+    with FramePackWriter(path) as w:
+        for i in range(5):
+            frames = []
+            for _ in range(4):
+                arr = rng.integers(0, 255, size=(36, 36, 3), dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                frames.append(buf.getvalue())
+            w.add_video(f"video{i}", frames)
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({
+        "video_id": [f"video{i}" for i in range(5)],
+        "sentence": [f"a dog number {i} runs" for i in range(5)],
+    }).to_csv(csv, index=False)
+    tokenizer = ClipTokenizer()
+    source = FrameSource(path, frames_per_video=4, mode="eval",
+                         resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), tokenizer, max_words=16,
+                           max_frames=4)
+    model, params, _ = _model_and_params()
+
+    def run(task):
+        loader = BatchLoader(ds, batch_size=3, num_workers=1)
+        ev = Evaluator(model, task, query_block=4, video_block=4)
+        return ev.run(params, loader, ds)
+
+    m_full = run(TaskConfig(do_eval=True, top_frames=2, use_frame_fea=True))
+    m_tf = run(TaskConfig(do_eval=True, top_frames=2, use_frame_fea=True,
+                          token_filter_keep=3, token_filter_layer=1))
+    for k in ("R1", "R5", "R10", "MR", "MeanR"):
+        assert k in m_tf and np.isfinite(m_tf[k])
+    assert m_full["R5"] == 100.0 and m_tf["R5"] == 100.0  # 5 videos
+
+
+def test_evaluator_rejects_non_vit_towers():
+    rn_arch = ClipArch(
+        embed_dim=64, image_resolution=32, vision_layers=(1, 1, 1, 1),
+        vision_width=2, vision_patch_size=0, context_length=16,
+        vocab_size=49408, transformer_width=32, transformer_heads=2,
+        transformer_layers=2)
+    model = BirdModel(rn_arch, TINY_CROSS)
+    task = TaskConfig(do_eval=True, token_filter_keep=3)
+    with pytest.raises(ValueError, match="2d-patch"):
+        Evaluator(model, task)
