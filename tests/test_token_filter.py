@@ -113,6 +113,57 @@ def test_evaluator_wires_token_filter(tmp_path):
     assert m_full["R5"] == 100.0 and m_tf["R5"] == 100.0  # 5 videos
 
 
+def test_mesh_sharded_filtered_eval_matches_single_device(tmp_path):
+    """The filtered pure-function forward must ride the Evaluator's
+    mesh path (replicated params + batch-sharded blocks) exactly like
+    the module path: features and metrics equal the single-device run."""
+    import pandas as pd
+
+    from hmmc_tpu.data.datasets import FrameSource, MsrvttEvalDataset
+    from hmmc_tpu.data.framepack import FramePackWriter
+    from hmmc_tpu.data.loader import BatchLoader
+    from hmmc_tpu.parallel import MeshSpec, make_mesh
+    from hmmc_tpu.tokenization import ClipTokenizer
+
+    path = str(tmp_path / "frames.fpk")
+    rng = np.random.default_rng(2)
+    with FramePackWriter(path) as w:
+        for i in range(6):
+            frames = []
+            for _ in range(4):
+                arr = rng.integers(0, 255, size=(36, 36, 3), dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                frames.append(buf.getvalue())
+            w.add_video(f"video{i}", frames)
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({
+        "video_id": [f"video{i}" for i in range(6)],
+        "sentence": [f"a bird number {i} flies" for i in range(6)],
+    }).to_csv(csv, index=False)
+    source = FrameSource(path, frames_per_video=4, mode="eval",
+                         resolution=32)
+    ds = MsrvttEvalDataset(source, str(csv), ClipTokenizer(), max_words=16,
+                           max_frames=4)
+    model, params, _ = _model_and_params()
+    task = TaskConfig(do_eval=True, top_frames=2, use_frame_fea=True,
+                      token_filter_keep=3, token_filter_layer=1)
+
+    def run_one(mesh):
+        loader = BatchLoader(ds, batch_size=3, num_workers=1)
+        ev = Evaluator(model, task, query_block=8, text_block=8,
+                       video_block=8, mesh=mesh)
+        q, v, f, t, multi, cut = ev.cache_features(params, loader, ds)
+        return q, v, f, ev.similarity(params, q, v, f)
+
+    q0, v0, f0, sim0 = run_one(None)
+    q1, v1, f1, sim1 = run_one(make_mesh(MeshSpec(dp=8)))
+    np.testing.assert_allclose(q0, q1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v0, v1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f0, f1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sim0, sim1, rtol=1e-4, atol=1e-5)
+
+
 def test_evaluator_rejects_non_vit_towers():
     rn_arch = ClipArch(
         embed_dim=64, image_resolution=32, vision_layers=(1, 1, 1, 1),
