@@ -1,0 +1,128 @@
+"""Build tiny synthetic datasets for end-to-end smoke drives.
+
+Generates the MSR-VTT and/or CHVTT("bird") layouts of docs/data.md with
+procedurally-generated videos, so both CLIs can be driven on real
+hardware without any external data (the verify recipe in
+.claude/skills/verify uses this; the reference has no equivalent — its
+loaders hard-code real-dataset roots).
+
+Usage:
+  python tools/make_synthetic_data.py --root /tmp/v [--videos 12]
+      [--datasets msrvtt,bird]
+
+Produces under --root:
+  videos/*.mp4 + manifest.json                (cv2 VideoWriter)
+  data/msrvtt/frames.fpk (30f) + MSRVTT_JSFUSION_test.1k.csv
+      + MSRVTT_train.9k.csv + MSRVTT_data.json
+  data/bird/frames.fpk (48f, keys Video{docid}) + pretrain.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def make_videos(root: str, n: int, frames: int = 40) -> str:
+    import cv2
+
+    vdir = os.path.join(root, "videos")
+    os.makedirs(vdir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    manifest = []
+    for i in range(n):
+        vid = f"video{i}"
+        path = os.path.join(vdir, f"{vid}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (64, 48))
+        base = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        for _ in range(frames):
+            jitter = rng.integers(-20, 20, size=base.shape)
+            w.write(np.clip(base.astype(np.int16) + jitter, 0,
+                            255).astype(np.uint8))
+        w.release()
+        manifest.append({"video_id": vid, "path": f"{vid}.mp4"})
+    mpath = os.path.join(root, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    return mpath
+
+
+def pack(manifest: str, root: str, out: str, num_frames: int,
+         ids_map=None) -> None:
+    """Run tools/video2framepack.py (optionally renaming ids)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = manifest
+    if ids_map:
+        entries = json.load(open(manifest))
+        for e in entries:
+            e["video_id"] = ids_map(e["video_id"])
+        src = manifest + ".renamed.json"
+        with open(src, "w") as f:
+            json.dump(entries, f)
+    subprocess.run(
+        [sys.executable, os.path.join(here, "video2framepack.py"),
+         "--manifest", src, "--video_root", os.path.join(root, "videos"),
+         "--out", out, "--num_frames", str(num_frames), "--workers", "2"],
+        check=True)
+
+
+def make_msrvtt(root: str, manifest: str, n: int) -> None:
+    ddir = os.path.join(root, "data", "msrvtt")
+    os.makedirs(ddir, exist_ok=True)
+    pack(manifest, root, os.path.join(ddir, "frames.fpk"), 30)
+    with open(os.path.join(ddir, "MSRVTT_JSFUSION_test.1k.csv"), "w") as f:
+        f.write("key,video_id,sentence\n")
+        for i in range(n):
+            f.write(f"k{i},video{i},a colorful clip number {i} moving\n")
+    with open(os.path.join(ddir, "MSRVTT_train.9k.csv"), "w") as f:
+        f.write("video_id\n")
+        for i in range(n):
+            f.write(f"video{i}\n")
+    sentences = [{"video_id": f"video{i}",
+                  "caption": f"training caption {j} for clip {i}"}
+                 for i in range(n) for j in range(2)]
+    with open(os.path.join(ddir, "MSRVTT_data.json"), "w") as f:
+        json.dump({"sentences": sentences}, f)
+
+
+def make_bird(root: str, manifest: str, n: int) -> None:
+    ddir = os.path.join(root, "data", "bird")
+    os.makedirs(ddir, exist_ok=True)
+    # bird keys are Video{docid} with docid "0".."n-1" (data/datasets.py)
+    pack(manifest, root, os.path.join(ddir, "frames.fpk"), 48,
+         ids_map=lambda v: "Video" + v.removeprefix("video"))
+    with open(os.path.join(ddir, "pretrain.json"), "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "docid": str(i), "duration": 12.0,
+                "tag": f"标签 {i}", "title": f"标题 {i}",
+                "tag_eng": f"tag words {i}",
+                "title_eng": f"a title about clip {i}"},
+                ensure_ascii=False) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/v")
+    p.add_argument("--videos", type=int, default=12)
+    p.add_argument("--datasets", default="msrvtt,bird")
+    args = p.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+    manifest = make_videos(args.root, args.videos)
+    wanted = set(args.datasets.split(","))
+    if "msrvtt" in wanted:
+        make_msrvtt(args.root, manifest, args.videos)
+    if "bird" in wanted:
+        make_bird(args.root, manifest, args.videos)
+    print(json.dumps({"root": args.root, "videos": args.videos,
+                      "datasets": sorted(wanted)}))
+
+
+if __name__ == "__main__":
+    main()
