@@ -81,6 +81,17 @@ def _mlm_token_ids(task: TaskConfig, tokenizer):
             getattr(tokenizer, "cls_token_id", 0))
 
 
+def _log_lrs(writer, task: TaskConfig, step: int, t_total: int) -> None:
+    """The reference tensorboards every UNIQUE param-group lr as
+    lr/lr{i}, sorted ascending (main_task_retrieval.py:313-314 via
+    optimizer.get_lr(); groups built at :193-198 from lr*coef_lr,
+    text_lr, lr)."""
+    unique = sorted({task.lr * task.coef_lr, task.text_lr, task.lr})
+    for i, base in enumerate(unique):
+        writer.scalar(f"lr/lr{i}", scheduled_lr(
+            base, step, t_total, warmup=task.warmup_proportion), step)
+
+
 def _task_with_resolution(args):
     from hmmc_tpu.config import ClipArch
 
@@ -280,12 +291,7 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                         "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
                         epoch, global_step, loss, t_data, t_step)
                     writer.scalar("loss", loss, global_step)
-                    # the reference logs optimizer.get_lr()[0] — group 0
-                    # is the CLIP decay group at lr*coef_lr
-                    # (main_task_retrieval.py:193,311)
-                    writer.scalar("lr", scheduled_lr(
-                        task.lr * task.coef_lr, global_step, t_total,
-                        warmup=task.warmup_proportion), global_step)
+                    _log_lrs(writer, task, global_step, t_total)
                     t_data = t_step = 0.0
                 t0 = time.time()
             save(epoch, batch_in_epoch, epoch_end=True)
@@ -481,9 +487,7 @@ def run_pretrain(args, log=None) -> None:
                     for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
                               "loss_MLM"):
                         writer.scalar(k, float(metrics[k]), global_step)
-                    writer.scalar("lr", scheduled_lr(
-                        task.lr * task.coef_lr, global_step, t_total,
-                        warmup=task.warmup_proportion), global_step)
+                    _log_lrs(writer, task, global_step, t_total)
             save(epoch, batch_in_epoch, epoch_end=True)
             if task.output_dir:
                 orbax_io.save_reference_checkpoint(
