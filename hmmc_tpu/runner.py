@@ -81,15 +81,21 @@ def _mlm_token_ids(task: TaskConfig, tokenizer):
             getattr(tokenizer, "cls_token_id", 0))
 
 
-def _log_lrs(writer, task: TaskConfig, step: int, t_total: int) -> None:
+def _log_lrs(writer, task: TaskConfig, step: int, t_total: int) -> str:
     """The reference tensorboards every UNIQUE param-group lr as
     lr/lr{i}, sorted ascending (main_task_retrieval.py:313-314 via
     optimizer.get_lr(); groups built at :193-198 from lr*coef_lr,
-    text_lr, lr)."""
+    text_lr, lr). Returns the joined string for the console line."""
     unique = sorted({task.lr * task.coef_lr, task.text_lr, task.lr})
+    lrs = []
     for i, base in enumerate(unique):
-        writer.scalar(f"lr/lr{i}", scheduled_lr(
-            base, step, t_total, warmup=task.warmup_proportion), step)
+        lr = scheduled_lr(base, step, t_total,
+                          warmup=task.warmup_proportion)
+        writer.scalar(f"lr/lr{i}", lr, step)
+        lrs.append(lr)
+    # the reference's console line joins them: "Lr: %.9f-%.9f-..."
+    # (main_task_retrieval.py:305-308)
+    return "-".join("%.9f" % v for v in lrs)
 
 
 def _task_with_resolution(args):
@@ -287,11 +293,12 @@ def run_finetune(args, log=None) -> Dict[str, float]:
                     return best_metrics
                 if global_step % task.n_display == 0:
                     loss = float(metrics["loss"])
-                    log.info(
-                        "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
-                        epoch, global_step, loss, t_data, t_step)
                     writer.scalar("loss", loss, global_step)
-                    _log_lrs(writer, task, global_step, t_total)
+                    lrs = _log_lrs(writer, task, global_step, t_total)
+                    log.info(
+                        "epoch %d step %d lr %s loss %.4f "
+                        "(data %.3fs step %.3fs)",
+                        epoch, global_step, lrs, loss, t_data, t_step)
                     t_data = t_step = 0.0
                 t0 = time.time()
             save(epoch, batch_in_epoch, epoch_end=True)
@@ -477,17 +484,17 @@ def run_pretrain(args, log=None) -> None:
                         epoch, batch_in_epoch, steps_per_epoch)
                     return
                 if global_step % task.n_display == 0:
+                    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
+                              "loss_MLM"):
+                        writer.scalar(k, float(metrics[k]), global_step)
+                    lrs = _log_lrs(writer, task, global_step, t_total)
                     log.info(
-                        "epoch %d step %d loss %.4f (FAM %.3f VTM %.3f FTM "
-                        "%.3f MLM %.3f)", epoch, global_step,
+                        "epoch %d step %d lr %s loss %.4f (FAM %.3f VTM "
+                        "%.3f FTM %.3f MLM %.3f)", epoch, global_step, lrs,
                         float(metrics["loss"]), float(metrics["loss_FAM"]),
                         float(metrics["loss_VTM"]),
                         float(metrics["loss_FTM"]),
                         float(metrics["loss_MLM"]))
-                    for k in ("loss", "loss_FAM", "loss_VTM", "loss_FTM",
-                              "loss_MLM"):
-                        writer.scalar(k, float(metrics[k]), global_step)
-                    _log_lrs(writer, task, global_step, t_total)
             save(epoch, batch_in_epoch, epoch_end=True)
             if task.output_dir:
                 orbax_io.save_reference_checkpoint(
