@@ -157,12 +157,19 @@ def test_overfit_drives_r1_to_100():
     # learned ranking largely intact.
     from hmmc_tpu.ops import token_filter
 
-    v_tf, _ = token_filter.encode_video_filtered(
-        var, batch["video"], TINY, TINY_CROSS, True,
-        filter_at=1, keep=3, dtype=jnp.float32)
-    sim_tf = np.asarray(loose_similarity(q, v_tf, jnp.float32(100.0)))
-    m_tf = compute_metrics(sim_tf)
-    assert m_tf["R1"] >= 75.0 and m_tf["MR"] == 1.0, m_tf
+    # Both measured keep points are pinned (keep=3 AND keep=4 — the
+    # docs cite both). Thresholds sit well under the measured values
+    # (81.25 / 87.5) so a single borderline ranking flip from numerical
+    # drift can't fail the suite: with n=16 queries each sample is worth
+    # 6.25 points, and the guarded bug class (wrong token ids, dropped
+    # CLS) collapses to near the 6.25 chance level anyway.
+    for keep, r1_floor in ((3, 62.5), (4, 75.0)):
+        v_tf, _ = token_filter.encode_video_filtered(
+            var, batch["video"], TINY, TINY_CROSS, True,
+            filter_at=1, keep=keep, dtype=jnp.float32)
+        sim_tf = np.asarray(loose_similarity(q, v_tf, jnp.float32(100.0)))
+        m_tf = compute_metrics(sim_tf)
+        assert m_tf["R1"] >= r1_floor and m_tf["MR"] == 1.0, (keep, m_tf)
 
 
 def test_zero1_opt_sharding_invariance_and_memory():
