@@ -52,6 +52,38 @@ def test_keep_all_equals_model_encode_video():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_keep_all_equals_encode_video_at_flagship_geometry():
+    """The keep-all equality guard AT THE GEOMETRY THAT SHIPS (ViT-B/32,
+    224px, 50 tokens, 12 layers, 4-layer/512-wide temporal transformer).
+
+    ops/token_filter re-implements the residual block as a pure function
+    over the stacked parameter leaves; the tiny-geometry test above would
+    keep passing if a models/layers change altered flagship-only numerics
+    (e.g. an eps or cast-order change that only matters at width 768), so
+    this pins the duplicated forward at full width — one [1, 1, 224, 224,
+    3] clip, <=1e-5 (VERDICT r3 weak #4). Uses the standalone
+    VisualEncoder (the filtered path never touches the text tower), which
+    keeps the init to one frame's forward."""
+    from hmmc_tpu.models.visual import VisualEncoder
+
+    arch = ClipArch.by_name("ViT-B/32")
+    cross = CrossConfig()
+    ve = VisualEncoder(arch, cross, use_temp=True)
+    video = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 1, 224, 224, 3)),
+        jnp.float32)
+    params = ve.init(jax.random.PRNGKey(0), video)["params"]
+
+    v_ref, f_ref = ve.apply({"params": params}, video)
+    v_tf, f_tf = token_filter.encode_video_filtered(
+        {"params": {"visual_encoder": params}}, video, arch, cross, True,
+        filter_at=4, keep=50, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(v_tf), np.asarray(v_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_tf), np.asarray(f_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_filtering_prunes_and_changes_features():
     model, params, video = _model_and_params()
     v_ref, f_ref = model.apply({"params": params}, video,
