@@ -15,6 +15,11 @@ Produces under --root:
   data/msrvtt/frames.fpk (30f) + MSRVTT_JSFUSION_test.1k.csv
       + MSRVTT_train.9k.csv + MSRVTT_data.json
   data/bird/frames.fpk (48f, keys Video{docid}) + pretrain.json
+  data/vatex/frames.fpk (30f) + {train,val,test}_list.txt
+      + vatex_data.json (multi-sentence en+zh captions,
+        dataloader_vatex_retrieval.py:78-95) + zh_vocab.txt
+        (WordPiece vocab covering the zh captions, for
+        --language chinese --pretrained_text)
 """
 
 from __future__ import annotations
@@ -107,11 +112,50 @@ def make_bird(root: str, manifest: str, n: int) -> None:
                 ensure_ascii=False) + "\n")
 
 
+_ZH_WORDS = ["鸟", "飞", "猫", "跑", "水", "山", "天", "云", "红", "蓝",
+             "大", "小"]
+
+
+def make_vatex(root: str, manifest: str, n: int) -> None:
+    """The bilingual multi-sentence layout
+    (dataloader_vatex_retrieval.py:78-95): every video carries several
+    en AND zh captions; eval groups sentences per video via
+    cut_off_points. Same videos serve train and test so an overfit
+    fine-tune drive can reach high R@1. Also writes a WordPiece vocab
+    covering exactly the zh captions' characters, so
+    ``--language chinese --pretrained_text .../zh_vocab.txt`` runs with
+    no external download."""
+    ddir = os.path.join(root, "data", "vatex")
+    os.makedirs(ddir, exist_ok=True)
+    pack(manifest, root, os.path.join(ddir, "frames.fpk"), 30)
+    vids = [f"video{i}" for i in range(n)]
+    for name in ("train_list.txt", "val_list.txt", "test_list.txt"):
+        with open(os.path.join(ddir, name), "w") as f:
+            f.write("\n".join(vids) + "\n")
+    captions = {}
+    for i, vid in enumerate(vids):
+        w = _ZH_WORDS[i % len(_ZH_WORDS)]
+        captions[vid] = {
+            "enCap": [f"a clip number {i} with pattern {i}",
+                      f"scene {i} shows colorful texture {i}"],
+            "chCap": [f"第{i}个视频有{w}", f"这个画面{i}里是{w}{w}"],
+        }
+    with open(os.path.join(ddir, "vatex_data.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(captions, f, ensure_ascii=False)
+    chars = sorted({c for v in captions.values() for cap in v["chCap"]
+                    for c in cap})
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + chars
+    with open(os.path.join(ddir, "zh_vocab.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(vocab) + "\n")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/v")
     p.add_argument("--videos", type=int, default=12)
-    p.add_argument("--datasets", default="msrvtt,bird")
+    p.add_argument("--datasets", default="msrvtt,bird,vatex")
     args = p.parse_args()
     os.makedirs(args.root, exist_ok=True)
     manifest = make_videos(args.root, args.videos)
@@ -120,6 +164,8 @@ def main():
         make_msrvtt(args.root, manifest, args.videos)
     if "bird" in wanted:
         make_bird(args.root, manifest, args.videos)
+    if "vatex" in wanted:
+        make_vatex(args.root, manifest, args.videos)
     print(json.dumps({"root": args.root, "videos": args.videos,
                       "datasets": sorted(wanted)}))
 
