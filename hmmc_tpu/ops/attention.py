@@ -16,10 +16,23 @@ compute dtype (bf16-safe).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax
+
+# Experimental attention layout selector (perf A/B on the real chip —
+# see docs/design.md "attention data formatting"):
+#   inplace (default): one packed [B·L, 3D] qkv GEMM, head axis kept in
+#       place, einsums over [B, L, H, Dh].
+#   batched_head: the head split is folded into the PROJECTION GEMM —
+#       a batched-over-heads einsum emits q/k/v already in [B, H, L, Dh],
+#       so no head-split layout copy can exist downstream. The weight is
+#       viewed [D, 3, H, Dh] (free at trace time; the per-layer operand
+#       re-layout is ~3.5 MB, vs the ~2.3 GB/step of materialized
+#       head-layout copies the op profile attributes to the inplace path).
+_ATTN_LAYOUT = os.environ.get("HMMC_ATTN_LAYOUT", "inplace")
 
 
 def dot_product_attention(
@@ -68,6 +81,12 @@ def multi_head_attention(
     """
     b, l, d = x.shape
     head_dim = d // num_heads
+
+    if _ATTN_LAYOUT == "batched_head" and not use_pallas:
+        return _mha_batched_head(x, in_proj_kernel, in_proj_bias,
+                                 out_kernel, out_bias, num_heads, mask,
+                                 return_weights)
+
     qkv = jnp.einsum("bld,de->ble", x, in_proj_kernel.astype(x.dtype))
     qkv = qkv + in_proj_bias.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -113,6 +132,40 @@ def multi_head_attention(
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = jnp.einsum(
         "bqhd,hde->bqe", out,
+        out_kernel.astype(x.dtype).reshape(num_heads, head_dim, d))
+    out = out + out_bias.astype(x.dtype)
+    if return_weights:
+        return out, weights_f32
+    return out
+
+
+def _mha_batched_head(x, in_proj_kernel, in_proj_bias, out_kernel,
+                      out_bias, num_heads, mask, return_weights):
+    """Head-major attention with the head split folded into the qkv
+    projection: einsum('bld,dshe->sbhle') is a batched GEMM over (s, h)
+    whose OUTPUT is produced in [B, H, L, Dh] layout by the GEMM itself —
+    there is no head-split reshape for XLA's layout assignment to
+    materialize. Numerically identical to the inplace path (same
+    contractions, fp32 softmax)."""
+    b, l, d = x.shape
+    head_dim = d // num_heads
+    w = in_proj_kernel.astype(x.dtype).reshape(d, 3, num_heads, head_dim)
+    bias = in_proj_bias.astype(x.dtype).reshape(3, num_heads, 1, head_dim)
+    qkv = jnp.einsum("bld,dshe->sbhle", x, w) + bias[:, None]
+    q, k, v = qkv[0], qkv[1], qkv[2]          # [B, H, L, Dh]
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jnp.exp(logits - lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True)))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights_f32 = weights
+    weights = weights.astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = jnp.einsum(
+        "bhqd,hde->bqe", out,
         out_kernel.astype(x.dtype).reshape(num_heads, head_dim, d))
     out = out + out_bias.astype(x.dtype)
     if return_weights:
