@@ -116,6 +116,11 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                         "axis — optimizer-state HBM drops ~dp-fold per "
                         "chip; numerics unchanged (the reference "
                         "replicates optimizer state on every GPU)")
+    p.add_argument("--fused_ema", action="store_true",
+                   help="pretrain: run the momentum EMA fused with the "
+                        "BertAdam parameter write (exactly equal "
+                        "fresh-run trajectory; keep consistent across "
+                        "--resume)")
     p.add_argument("--eval_dual_softmax", action="store_true",
                    help="apply the dual-softmax reweighting "
                         "(until_module.py get_dual_matrix) to the eval "

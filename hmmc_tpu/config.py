@@ -318,6 +318,13 @@ class TaskConfig:
     # sharding drops optimizer-state HBM ~dp-fold per chip and runs the
     # moment update on 1/dp of the elements. Numerics are unchanged.
     zero_opt: bool = False
+    # pretrain only: carry params_k "pre-EMA'd for the next forward" so
+    # the momentum EMA runs adjacent to BertAdam's parameter write and
+    # fuses with it (one fewer full fp32 read of the parameter tree per
+    # step). Fresh-run trajectories are EXACTLY equal to the unfused
+    # order; keep the flag consistent across --resume (the saved
+    # params_k convention differs by one EMA application).
+    fused_ema: bool = False
     # knowingly-fixed reference quirk (flag-controlled): the reference's
     # temporal attention mask is all-ones even over zero-padded frames
     # (module_cross.py:201-203); True masks padded frames properly

@@ -404,7 +404,7 @@ def run_pretrain(args, log=None) -> None:
     step_fn = make_pretrain_step(
         model, tx, cross, task, mask_token_id=mask_id, pad_token_id=pad_id,
         cls_token_id=cls_id, n_accum=task.gradient_accumulation_steps,
-        opt_shardings=opt_shardings)
+        opt_shardings=opt_shardings, fused_ema=task.fused_ema)
 
     ckpt_dir = os.path.join(task.output_dir or ".", "ckpt")
     start_epoch, resume_skip = _resolve_resume(args, ckpt_dir, log)

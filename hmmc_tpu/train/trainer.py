@@ -306,6 +306,7 @@ def make_pretrain_step(
     cls_token_id: int,
     n_accum: int = 1,
     opt_shardings: Any = None,
+    fused_ema: bool = False,
 ) -> Callable:
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
@@ -322,6 +323,20 @@ def make_pretrain_step(
     forwards — so each micro-batch here runs EMA -> key forwards -> losses
     against the CURRENT queue snapshot -> enqueue, inside a lax.scan, and
     the mean of the micro-grads feeds one optimizer update.
+
+    ``fused_ema`` (opt-in, ``--fused_ema``): algebraically-identical
+    restructure that moves each step's LAST momentum EMA across the step
+    boundary — ``params_k`` is carried "pre-EMA'd for the next forward",
+    so the final EMA of step t runs right after BertAdam's parameter
+    write of step t and XLA fuses the two per-leaf passes (both read the
+    freshly-updated params; saves one full fp32 read of the parameter
+    tree per step). Fresh-run trajectories are EXACTLY equal (induction:
+    k_1 = m*k_0 + (1-m)*p_1 = p_1 = copy-init when k_0 = copy(p_1), and
+    both recurrences coincide thereafter); the only semantic difference
+    is at CHECKPOINT boundaries — the saved params_k is one EMA
+    application ahead of the reference's convention, so the flag must be
+    kept consistent across ``--resume`` (mixing conventions drifts
+    params_k by (1-m) of the (q - k) gap once).
     """
     use_tag = task.dataset == "bird"
     use_frame = task.use_frame_fea
@@ -429,11 +444,15 @@ def make_pretrain_step(
                "batch_stats": mut["batch_stats"]}
         return loss, aux
 
-    def one_micro(params, params_k, stats_k, batch_stats, queues, mb, rng):
+    def one_micro(params, params_k, stats_k, batch_stats, queues, mb, rng,
+                  ema_first: bool = True):
         """One forward's worth of MoCo state evolution: momentum EMA
         BEFORE key forwards (modeling.py:368-372), grads vs the CURRENT
-        queue snapshot, then enqueue (modeling.py:412)."""
-        params_k = momentum_update(params, params_k, momentum)
+        queue snapshot, then enqueue (modeling.py:412). Under
+        ``fused_ema`` the first micro's EMA already happened at the END
+        of the previous step (``ema_first=False``)."""
+        if ema_first:
+            params_k = momentum_update(params, params_k, momentum)
         keys, stats_k = key_forwards(params_k, stats_k, mb, batch_stats)
 
         def wrapped(p, b, r):
@@ -452,7 +471,8 @@ def make_pretrain_step(
             (params_k, stats_k, batch_stats, queues, grads,
              aux) = one_micro(state.params, state.params_k,
                               state.batch_stats_k, state.batch_stats,
-                              state.queues, batch, rng)
+                              state.queues, batch, rng,
+                              ema_first=not fused_ema)
         else:
             micro = _split_microbatches(batch, n_accum)
             rngs = jax.random.split(rng, n_accum)
@@ -469,17 +489,43 @@ def make_pretrain_step(
                 gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
                 return (params_k, stats_k, batch_stats, queues, gacc), aux
 
-            carry0 = (state.params_k, state.batch_stats_k,
-                      state.batch_stats, state.queues, zero)
-            (params_k, stats_k, batch_stats, queues,
-             grads), auxes = jax.lax.scan(body, carry0, (micro, rngs))
+            if fused_ema:
+                # first micro's EMA already ran at the end of the
+                # previous step; run it outside the scan, then the
+                # remaining micros (EMA with the SAME pre-update params,
+                # exactly like the unfused path) inside it
+                (params_k, stats_k, batch_stats, queues, g0,
+                 aux0) = one_micro(state.params, state.params_k,
+                                   state.batch_stats_k, state.batch_stats,
+                                   state.queues,
+                                   jax.tree_util.tree_map(
+                                       lambda x: x[0], micro),
+                                   rngs[0], ema_first=False)
+                carry0 = (params_k, stats_k, batch_stats, queues,
+                          jax.tree_util.tree_map(jnp.add, zero, g0))
+                rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+                (params_k, stats_k, batch_stats, queues,
+                 grads), auxes = jax.lax.scan(body, carry0,
+                                              (rest, rngs[1:]))
+                aux = jax.tree_util.tree_map(
+                    lambda a0, a: (a0 + a.sum(0)) / n_accum, aux0, auxes)
+            else:
+                carry0 = (state.params_k, state.batch_stats_k,
+                          state.batch_stats, state.queues, zero)
+                (params_k, stats_k, batch_stats, queues,
+                 grads), auxes = jax.lax.scan(body, carry0, (micro, rngs))
+                # Mean over micro-batches (see _accumulate).
+                aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
             grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
-            # Mean over micro-batches (see _accumulate).
-            aux = jax.tree_util.tree_map(lambda a: a.mean(0), auxes)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         opt_state = _constrain_opt(opt_state, opt_shardings)
         params = optax.apply_updates(state.params, updates)
+        if fused_ema:
+            # next step's first EMA, adjacent to BertAdam's parameter
+            # write so XLA fuses the two per-leaf passes over the
+            # freshly-updated params
+            params_k = momentum_update(params, params_k, momentum)
         new_state = state.replace(
             params=params, params_k=params_k, batch_stats=batch_stats,
             batch_stats_k=stats_k, opt_state=opt_state, queues=queues,

@@ -3,6 +3,8 @@ mesh (SURVEY §4: data-parallel semantics testable without a TPU)."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,7 +82,7 @@ def test_finetune_grad_accumulation_matches():
     assert np.isfinite(float(m["loss"]))
 
 
-def _pretrain_setup(dataset="msrvtt", n_accum=1):
+def _pretrain_setup(dataset="msrvtt", n_accum=1, **step_kwargs):
     rng = np.random.default_rng(2)
     task = TaskConfig(do_pretrain=True, dataset=dataset,
                       contrast_num_negative=32, max_frames=F,
@@ -107,7 +109,7 @@ def _pretrain_setup(dataset="msrvtt", n_accum=1):
     state = PretrainState.create(variables, tx, queues)
     step = make_pretrain_step(
         model, tx, TINY_CROSS, task, mask_token_id=254, pad_token_id=255,
-        cls_token_id=1, n_accum=n_accum)
+        cls_token_id=1, n_accum=n_accum, **step_kwargs)
     return state, step, batch
 
 
@@ -185,6 +187,46 @@ def test_pretrain_momentum_update_direction():
     kn = momentum_update(state.params, state.params_k, 0.5)
     k1 = np.asarray(kn["text_encoder"]["logit_scale"])
     np.testing.assert_allclose(k1, 0.5 * k0 + 0.5 * p0)
+
+
+@pytest.mark.parametrize("n_accum", [1, 2])
+def test_fused_ema_trajectory_equals_unfused(n_accum):
+    """--fused_ema moves each step's momentum EMA across the step
+    boundary (trainer.make_pretrain_step): by induction the fresh-run
+    trajectories coincide exactly — k_0 = copy(p_1) makes the first
+    step's EMA the identity, and both recurrences are
+    k' = m*k + (1-m)*p thereafter. Verified over 4 steps for params,
+    params_k, AND queues (the key forwards consume params_k, so any
+    EMA-placement mistake shows up in the enqueued keys immediately)."""
+    state_a, step_a, batch = _pretrain_setup(n_accum=n_accum)
+    state_b, step_b, _ = _pretrain_setup(n_accum=n_accum, fused_ema=True)
+    for i in range(4):
+        r = jax.random.PRNGKey(10 + i)
+        state_a, m_a = step_a(state_a, batch, r)
+        state_b, m_b = step_b(state_b, batch, r)
+        float(m_a["loss"]), float(m_b["loss"])
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-6)
+    # Stored convention: fused carries params_k "pre-EMA'd for the next
+    # forward" — one EMA application AHEAD of the unfused convention
+    # (K_{T+1} = m*k_T + (1-m)*p_{T+1}); params/losses/queues are equal
+    # directly.
+    expected_k = momentum_update(state_a.params, state_a.params_k, 0.9)
+    for name, a, b in (("params", state_a.params, state_b.params),
+                       ("params_k", expected_k, state_b.params_k)):
+        flat_a = jax.tree_util.tree_leaves(a)
+        flat_b = jax.tree_util.tree_leaves(b)
+        for la, lb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-6, atol=1e-7, err_msg=name)
+    # queue columns are key-tower features: compile-level fp variation
+    # (fma/fusion differences between the two step programs) amplifies
+    # through the tower forward to ~1e-5 relative on a few columns over
+    # 4 steps — same tolerance class as the sp-consistency test above
+    np.testing.assert_allclose(
+        np.asarray(state_a.queues.title_cross),
+        np.asarray(state_b.queues.title_cross), rtol=1e-4, atol=1e-6)
+    assert int(state_a.queues.ptr) == int(state_b.queues.ptr)
 
 
 def test_pretrain_bird_dataset_with_tags():
