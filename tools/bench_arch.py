@@ -28,7 +28,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(arch_name: str, batch_size: int, frames: int):
+def build(arch_name: str, batch_size: int, frames: int,
+          use_pallas: bool = False, remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +46,8 @@ def build(arch_name: str, batch_size: int, frames: int):
         pass
     arch = ClipArch.by_name(arch_name)
     cross = CrossConfig()
-    model = BirdModel(arch, cross, dtype=jnp.bfloat16)
+    model = BirdModel(arch, cross, dtype=jnp.bfloat16,
+                      use_pallas=use_pallas, remat=remat)
     rng = np.random.default_rng(0)
     l, res = 32, arch.image_resolution
     variables = model.init(
@@ -70,8 +72,10 @@ def build(arch_name: str, batch_size: int, frames: int):
     return step, state, batch
 
 
-def run_point(arch_name: str, batch_size: int, iters: int, frames: int):
-    step, state, batch = build(arch_name, batch_size, frames)
+def run_point(arch_name: str, batch_size: int, iters: int, frames: int,
+              use_pallas: bool = False, remat: bool = False):
+    step, state, batch = build(arch_name, batch_size, frames,
+                               use_pallas=use_pallas, remat=remat)
     for _ in range(2):
         state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -100,27 +104,45 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--batches", default="2,4,8")
+    p.add_argument("--attention", choices=["xla", "pallas", "both"],
+                   default="xla",
+                   help="which attention path(s) to bench — 'both' settles "
+                        "the Pallas on/off question per geometry "
+                        "(VERDICT r3 #1: ViT-L/14@336px, the only shipped "
+                        "geometry above the kernel's L>=512 crossover)")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint the towers (extends the batch envelope "
+                        "for L/14@336 on a 16 GB chip)")
     args = p.parse_args()
 
     from bench import _peak_flops
 
+    attn_variants = {"xla": (False,), "pallas": (True,),
+                     "both": (False, True)}[args.attention]
     for arch_name in args.archs.split(","):
         results = []
         for b in [int(x) for x in args.batches.split(",")]:
-            tag = f"{arch_name}_b{b}"
-            try:
-                clips, flops = run_point(arch_name, b, args.iters,
-                                         args.frames)
-                mfu = (flops * (clips / b) / _peak_flops()
-                       if flops else None)
-                rec = {"point": tag,
-                       "clips_per_sec_per_chip": round(clips, 2),
-                       "mfu": round(mfu, 4) if mfu else None}
-                results.append((tag, clips))
-            except Exception as e:
-                rec = {"point": tag,
-                       "error": f"{type(e).__name__}: {str(e)[:160]}"}
-            print(json.dumps(rec), flush=True)
+            for use_pallas in attn_variants:
+                tag = f"{arch_name}_b{b}"
+                if len(attn_variants) > 1 or use_pallas:
+                    tag += "_pallas" if use_pallas else "_xla"
+                if args.remat:
+                    tag += "_remat"
+                try:
+                    clips, flops = run_point(arch_name, b, args.iters,
+                                             args.frames,
+                                             use_pallas=use_pallas,
+                                             remat=args.remat)
+                    mfu = (flops * (clips / b) / _peak_flops()
+                           if flops else None)
+                    rec = {"point": tag,
+                           "clips_per_sec_per_chip": round(clips, 2),
+                           "mfu": round(mfu, 4) if mfu else None}
+                    results.append((tag, clips))
+                except Exception as e:
+                    rec = {"point": tag,
+                           "error": f"{type(e).__name__}: {str(e)[:160]}"}
+                print(json.dumps(rec), flush=True)
         if results:
             best = max(results, key=lambda r: r[1])
             print(json.dumps({

@@ -30,6 +30,18 @@ VARIANTS = {
         "xla_tpu_enable_latency_hiding_scheduler": "true",
         "xla_tpu_scoped_vmem_limit_kib": "65536",
     },
+    # round-4 copy/fusion-targeted candidates (the r3 sweep tested the
+    # two general knobs above; these aim at the ~8% un-overlapped
+    # VMEM-prefetch copies and the attention data-formatting fusions
+    # specifically). Unknown option names error per-variant and are
+    # recorded — that is itself the answer for this toolchain.
+    "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "no_dot_sr": {"xla_tpu_enable_dot_strength_reduction": "false"},
+    "no_rwb_fusion": {"xla_tpu_rwb_fusion": "false"},
+    "exhaustive_of": {
+        "xla_tpu_enable_experimental_exhaustive_output_fusion": "true"},
+    "bundle_cost": {"xla_tpu_use_bundle_aware_cost_model": "true"},
+    "licm2x": {"xla_tpu_licm_size_inflation_ratio": "2.0"},
 }
 
 

@@ -1,0 +1,138 @@
+"""Token-filter retrieval QUALITY curve at flagship geometry.
+
+tools/bench_tokenfilter.py measures the SPEED of attention-aware token
+filtering (ops/token_filter.py) on the real chip; the only quality data
+point so far was a 4-patch toy geometry (tests/test_end_to_end_learning
+.py). This tool closes the gap (VERDICT r3 #8): it overfits the REAL
+ViT-B/32 model (224px, 50 tokens, 12 layers, default CrossConfig) on
+the synthetic 12-video MSR-VTT set until full-tower R@1 is high, then
+records R@1/R@5/MedR at keep in {50, 26, 13} with the production
+filter layer — the quality-vs-keep table next to docs/serving.md's
+1.37x/1.86x speedup numbers.
+
+  python tools/make_synthetic_data.py --root /tmp/v --datasets msrvtt
+  python tools/quality_tokenfilter.py --data_dir /tmp/v/data \
+      [--steps 240] [--keeps 50,26,13]
+
+Prints one JSON line per keep value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--keeps", default="50,26,13")
+    ap.add_argument("--filter_layer", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hmmc_tpu.config import ClipArch, CrossConfig, TaskConfig
+    from hmmc_tpu.data.datasets import (FrameSource, MsrvttEvalDataset,
+                                        MsrvttTrainDataset)
+    from hmmc_tpu.data.loader import BatchLoader
+    from hmmc_tpu.evaluation import Evaluator
+    from hmmc_tpu.models.retrieval import BirdModel
+    from hmmc_tpu.ops import image_ops
+    from hmmc_tpu.tokenization import ClipTokenizer
+    from hmmc_tpu.train.optimization import build_optimizer
+    from hmmc_tpu.train.trainer import FinetuneState, make_finetune_step
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hmmc_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    base = os.path.join(args.data_dir, "msrvtt")
+    tokenizer = ClipTokenizer()
+    source = FrameSource(os.path.join(base, "frames.fpk"),
+                         frames_per_video=30, mode="eval", resolution=224)
+    train_ds = MsrvttTrainDataset(
+        source, csv_path=os.path.join(base, "MSRVTT_train.9k.csv"),
+        json_path=os.path.join(base, "MSRVTT_data.json"),
+        tokenizer=tokenizer, max_words=32, max_frames=12,
+        frame_sample="uniform")
+    eval_ds = MsrvttEvalDataset(
+        source, csv_path=os.path.join(base, "MSRVTT_JSFUSION_test.1k.csv"),
+        tokenizer=tokenizer, max_words=32, max_frames=12,
+        frame_sample="uniform")
+
+    # decode every train sample ONCE (eval-mode frames, deterministic),
+    # then loop fixed device batches — the host's 1-core decode never
+    # gates the overfit loop
+    items = [train_ds[i] for i in range(len(train_ds))]
+    n = len(items)
+    batches = []
+    for s in range(0, n - args.batch + 1, args.batch):
+        chunk = items[s:s + args.batch]
+        batches.append({
+            "query_ids": jnp.asarray(
+                np.stack([it["query_ids"] for it in chunk])),
+            "query_mask": jnp.asarray(
+                np.stack([it["query_mask"] for it in chunk])),
+            "video": image_ops.normalize(image_ops.to_float(jnp.asarray(
+                np.stack([it["video"] for it in chunk])))),
+        })
+    print(f"# {n} train sentences -> {len(batches)} fixed batches of "
+          f"{args.batch}", file=sys.stderr)
+
+    arch = ClipArch.by_name("ViT-B/32")
+    cross = CrossConfig()
+    model = BirdModel(arch, cross, dtype=jnp.bfloat16)
+    b0 = batches[0]
+    params = model.init(jax.random.PRNGKey(0), b0["query_ids"][:2],
+                        b0["query_mask"][:2], b0["video"][:2])["params"]
+    tx = build_optimizer(params, lr=1e-4, text_lr=1e-4, coef_lr=1e-2,
+                         weight_decay=0.01, warmup_proportion=0.05,
+                         t_total=args.steps)
+    state = FinetuneState.create(params, tx)
+    step = make_finetune_step(model, tx, cross, use_frame_fea=True)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % len(batches)])
+        if i % 20 == 0 or i == args.steps - 1:
+            print(f"# step {i} loss {float(metrics['loss']):.4f}",
+                  file=sys.stderr)
+    print(f"# trained {args.steps} steps in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    params = state.params
+
+    for keep in [int(k) for k in args.keeps.split(",")]:
+        tf_keep = 0 if keep >= 50 else keep  # 50 tokens == full tower
+        task = TaskConfig(do_eval=True, top_frames=3, use_frame_fea=True,
+                          max_frames=12, max_words=32,
+                          token_filter_keep=tf_keep,
+                          token_filter_layer=args.filter_layer)
+        loader = BatchLoader(eval_ds, batch_size=8, num_workers=1)
+        ev = Evaluator(model, task, query_block=16, video_block=16)
+        t1 = time.perf_counter()
+        m = ev.run(params, loader, eval_ds)
+        print(json.dumps({
+            "keep": keep, "filter_layer": args.filter_layer,
+            "filtered": bool(tf_keep),
+            "R1": m["R1"], "R5": m["R5"], "R10": m["R10"],
+            "MedR": m["MR"], "MeanR": m["MeanR"],
+            "eval_seconds": round(time.perf_counter() - t1, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
