@@ -381,6 +381,24 @@ def test_run_finetune_chinese(data_dir, cross_json, zh_vocab, tmp_path):
     assert np.isfinite(metrics["R1"])
 
 
+def test_run_finetune_vatex_chinese(data_dir, cross_json, zh_vocab,
+                                    tmp_path):
+    """The full bilingual multi-sentence surface in one drive:
+    --dataset vatex --language chinese — WordPiece zh tokenizer, the
+    BERT text tower + projection, VATEX's chCap captions
+    (dataloader_vatex_retrieval.py:78-95), and the cut-off-point grouped
+    multi-sentence eval metrics (metrics.py:102-119)."""
+    from hmmc_tpu.runner import run_finetune
+
+    out = str(tmp_path / "vzh")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_train", "--dataset", "vatex"])
+    args.language = "chinese"
+    args.pretrained_text = zh_vocab
+    metrics = run_finetune(args)
+    assert np.isfinite(metrics["R1"])
+
+
 def test_run_pretrain_vatex(data_dir, cross_json, tmp_path):
     """VATEX pretrain path: captions double as tag+title
     (dataloader_vatex_retrieval.py:248-249)."""
