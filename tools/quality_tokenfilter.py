@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--keeps", default="50,26,13")
     ap.add_argument("--filter_layer", type=int, default=4)
+    ap.add_argument("--eval_from_train", action="store_true",
+                    help="evaluate with one TRAIN caption per video "
+                         "(held-in): drives full-tower R@1 high so the "
+                         "filter's quality effect is measured against a "
+                         "genuinely learned ranking, not generalization "
+                         "noise")
     args = ap.parse_args()
 
     import jax
@@ -69,8 +75,27 @@ def main():
         json_path=os.path.join(base, "MSRVTT_data.json"),
         tokenizer=tokenizer, max_words=32, max_frames=12,
         frame_sample="uniform")
+    eval_csv = os.path.join(base, "MSRVTT_JSFUSION_test.1k.csv")
+    if args.eval_from_train:
+        import csv as _csv
+        import json as _json
+        import tempfile
+
+        with open(os.path.join(base, "MSRVTT_data.json")) as f:
+            sents = _json.load(f)["sentences"]
+        first = {}
+        for s in sents:
+            first.setdefault(s["video_id"], s["caption"])
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False, newline="")
+        wcsv = _csv.writer(tmp)
+        wcsv.writerow(["key", "video_id", "sentence"])
+        for i, (vid, cap) in enumerate(sorted(first.items())):
+            wcsv.writerow([f"k{i}", vid, cap])
+        tmp.close()
+        eval_csv = tmp.name
     eval_ds = MsrvttEvalDataset(
-        source, csv_path=os.path.join(base, "MSRVTT_JSFUSION_test.1k.csv"),
+        source, csv_path=eval_csv,
         tokenizer=tokenizer, max_words=32, max_frames=12,
         frame_sample="uniform")
 
@@ -99,7 +124,9 @@ def main():
     b0 = batches[0]
     params = model.init(jax.random.PRNGKey(0), b0["query_ids"][:2],
                         b0["query_mask"][:2], b0["video"][:2])["params"]
-    tx = build_optimizer(params, lr=1e-4, text_lr=1e-4, coef_lr=1e-2,
+    # overfit recipe: coef_lr=1 gives the ViT the full 1e-4 (random
+    # init, no CLIP weights — the filter must act on LEARNED attention)
+    tx = build_optimizer(params, lr=1e-4, text_lr=1e-4, coef_lr=1.0,
                          weight_decay=0.01, warmup_proportion=0.05,
                          t_total=args.steps)
     state = FinetuneState.create(params, tx)
