@@ -151,11 +151,38 @@ def make_vatex(root: str, manifest: str, n: int) -> None:
         f.write("\n".join(vocab) + "\n")
 
 
+def make_msvd(root: str, n: int) -> None:
+    """Raw-video layout (no FramePack — the MSVD/LSMDC path decodes
+    mp4s at load time via rawvideo.RawVideoExtractor, matching the
+    reference's non-lmdb loaders): {train,val,test}_list.txt +
+    raw-captions.pkl + videos/*.mp4 (dataloader_msvd_retrieval.py)."""
+    import pickle
+    import shutil
+
+    ddir = os.path.join(root, "data", "msvd")
+    vdir = os.path.join(ddir, "videos")
+    os.makedirs(vdir, exist_ok=True)
+    vids = [f"video{i}" for i in range(n)]
+    for v in vids:
+        src = os.path.join(root, "videos", f"{v}.mp4")
+        dst = os.path.join(vdir, f"{v}.mp4")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    for name in ("train_list.txt", "val_list.txt", "test_list.txt"):
+        with open(os.path.join(ddir, name), "w") as f:
+            f.write("\n".join(vids) + "\n")
+    captions = {v: [["a", "raw", "clip", "number", str(i)],
+                    ["pattern", str(i), "moving", "shapes"]]
+                for i, v in enumerate(vids)}
+    with open(os.path.join(ddir, "raw-captions.pkl"), "wb") as f:
+        pickle.dump(captions, f)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/v")
     p.add_argument("--videos", type=int, default=12)
-    p.add_argument("--datasets", default="msrvtt,bird,vatex")
+    p.add_argument("--datasets", default="msrvtt,bird,vatex,msvd")
     args = p.parse_args()
     os.makedirs(args.root, exist_ok=True)
     manifest = make_videos(args.root, args.videos)
@@ -166,6 +193,8 @@ def main():
         make_bird(args.root, manifest, args.videos)
     if "vatex" in wanted:
         make_vatex(args.root, manifest, args.videos)
+    if "msvd" in wanted:
+        make_msvd(args.root, args.videos)
     print(json.dumps({"root": args.root, "videos": args.videos,
                       "datasets": sorted(wanted)}))
 
