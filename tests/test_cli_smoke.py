@@ -297,6 +297,20 @@ def test_run_pretrain_bird(data_dir, cross_json, tmp_path):
     assert os.path.isdir(os.path.join(out, "ckpt"))
 
 
+def test_run_pretrain_fused_ema(data_dir, cross_json, tmp_path):
+    """--fused_ema wired through the CLI into make_pretrain_step (the
+    trajectory-equality tests live in test_trainer; this drives the
+    flag through the full runner incl. checkpoint save)."""
+    from hmmc_tpu.runner import run_pretrain
+
+    out = str(tmp_path / "ptf")
+    args = _args(data_dir, cross_json, out,
+                 ["--do_pretrain", "--dataset", "bird",
+                  "--contrast_num_negative", "16", "--fused_ema"])
+    run_pretrain(args)
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
 def test_run_params(data_dir, cross_json, tmp_path):
     from hmmc_tpu.runner import run_params
 
