@@ -101,7 +101,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _attention_reference(q, k, v, causal: bool):
-    """jnp reference (used for the backward pass)."""
+    """jnp reference (parity tests; also the pre-r4 backward)."""
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
@@ -112,6 +112,82 @@ def _attention_reference(q, k, v, causal: bool):
         logits = jnp.where((cols <= rows)[None, None], logits, -1e30)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                          dq_ref, dk_ref, dv_ref, *, true_len: int,
+                          causal: bool, scale: float):
+    """Fused backward for one (batch, head) block: recompute the fp32
+    probabilities IN VMEM and emit dq/dk/dv — no [L, L] tensor ever
+    touches HBM (the pre-r4 backward ran jax.vjp through the jnp
+    reference, whose recompute materializes fp32 [B*H, L, L] logits and
+    probabilities as HBM temps — at ViT-L/14@336 geometry that is
+    ~550 MB per layer of backward peak, part of the proven b2 OOM)."""
+    q = q_ref[0].astype(jnp.float32)             # [Lp, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [Lp, Lp]
+    lp = logits.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = cols < true_len
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = jnp.logical_and(mask, cols <= rows)
+    logits = jnp.where(mask, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    p = w / jnp.sum(w, axis=-1, keepdims=True)            # [Lp, Lp]
+    # dV = P^T g      (padded g rows are zero -> no spurious terms)
+    dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # dP = g V^T ; softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds * scale
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, g, causal: bool):
+    b, h, l, d = q.shape
+    lp = _round_up(l, 128)
+    dp_ = _round_up(d, 128)
+    scale = d ** -0.5
+
+    def prep(t):
+        t = t.reshape(b * h, l, d)
+        return jnp.pad(t, ((0, 0), (0, lp - l), (0, dp_ - d)))
+
+    qp, kp, vp, gp = prep(q), prep(k), prep(v), prep(g)
+    kernel = functools.partial(
+        _attention_bwd_kernel, true_len=l, causal=causal, scale=scale)
+    spec = pl.BlockSpec((1, lp, dp_), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b * h, lp, dp_), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * lp * lp * dp_,
+            bytes_accessed=7 * b * h * lp * dp_ * q.dtype.itemsize,
+            transcendentals=b * h * lp * lp),
+    )(qp, kp, vp, gp)
+
+    def unprep(t):
+        return t[:, :l, :d].reshape(b, h, l, d)
+
+    return unprep(dq), unprep(dk), unprep(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -127,9 +203,7 @@ def _fwd(q, k, v, causal):
 
 def _bwd(causal, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, causal),
-                     q, k, v)
-    return vjp(g)
+    return _flash_backward(q, k, v, g, causal)
 
 
 fused_attention.defvjp(_fwd, _bwd)
