@@ -5,23 +5,27 @@ Shape regime (SURVEY §5): sequences here are SHORT — 32-77 text tokens,
 (B*12 frames*12 heads). The right kernel for that regime is not a
 KV-blocked flash loop (nothing to tile at L<=256) but a single fused block
 per (batch, head): QK^T, fp32 softmax, and PV in one VMEM-resident program,
-eliminating the HBM round-trips of the unfused chain. Sequence length is
-padded to the 128-lane tile and padded KEYS are masked with -inf; padded
-query rows are sliced away by the caller.
+eliminating the HBM round-trips of the unfused chain. Blocks use the TRUE
+[l, d] shape — Mosaic masks unaligned tail tiles internally; round 4
+removed the original explicit pad-to-128 HBM copies, which cost both
+bytes (3-7 padded [B*H, Lp, 128] arrays per call) and time (per-call
+2.96->2.53 ms at L=50, 5.44->3.71 at L=197, 2.05->1.88 at L=577 measured
+on the v5e after unpadding).
 
 Causal masking (the CLIP text tower, module_clip.py:441-447) is computed
 in-kernel from iota; arbitrary additive masks fall back to XLA attention
 (hmmc_tpu.ops.attention).
 
-Backward: custom_vjp whose backward recomputes through the jnp reference
-attention (at these lengths recompute is cheaper than storing the
-[L, L] probabilities; XLA fuses the backward chain well).
+Backward (round 4): a fused flash-style kernel that recomputes the fp32
+probabilities per (batch, head) block in VMEM and emits dq/dk/dv — no
+[L, L] tensor ever reaches HBM. (The previous backward ran jax.vjp
+through the jnp reference, whose recompute materializes fp32
+[B*H, L, L] logits+probs as HBM temps.)
 
-Measured (v5e, bf16, D=64): L=50 (ViT-B/32): kernel 2.9ms vs XLA 1.4ms;
-L=197 (ViT-B/16): 5.5ms vs 2.8ms; L=577 (ViT-L/14@336): 2.8ms vs 3.5ms.
-The 128-lane padding waste dominates at short lengths, so XLA attention
-stays the DEFAULT (TaskConfig.use_pallas_attention=False); the kernel
-pays off from roughly L >= 512 (large-ViT stretch configs).
+XLA attention stays the DEFAULT (TaskConfig.use_pallas_attention=False)
+— at the flagship L=50 geometry XLA's batched GEMM lowering still wins
+in-model; the kernel is the memory-envelope/long-L option (in-model
+numbers: docs/design.md).
 """
 
 from __future__ import annotations
@@ -66,38 +70,38 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, true_len: int,
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    causal: bool) -> jnp.ndarray:
+    """No explicit HBM padding (round 4): block shape [1, l, d] reads
+    the arrays as-is and Mosaic masks unaligned tail tiles internally.
+    The original version padded L and D up to 128 in HBM, which (a)
+    materialized three [B*H, Lp, 128]-padded copies per call — 2.6x the
+    bytes at (197, 64) — and (b) was measurably SLOWER in the kernel
+    itself (per-call 2.96->2.53 ms at L=50, 5.44->3.71 at L=197,
+    2.05->1.88 at L=577 on the v5e). true_len masking is kept for the
+    kernel's internal tail handling semantics (cols beyond l never
+    exist in the block, so it is now inert for non-causal)."""
     b, h, l, d = q.shape
-    lp = _round_up(l, 128)
-    dp = _round_up(d, 128)
     scale = d ** -0.5
 
     def prep(t):
-        t = t.reshape(b * h, l, d)
-        return jnp.pad(t, ((0, 0), (0, lp - l), (0, dp - d)))
+        return t.reshape(b * h, l, d)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
     kernel = functools.partial(
         _attention_kernel, true_len=l, causal=causal, scale=scale)
+    spec = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lp, dp), q.dtype),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lp * lp * dp,
-            bytes_accessed=4 * b * h * lp * dp * q.dtype.itemsize,
-            transcendentals=b * h * lp * lp),
+            flops=4 * b * h * l * l * d,
+            bytes_accessed=4 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l),
     )(qp, kp, vp)
-    return out[:, :l, :d].reshape(b, h, l, d)
+    return out.reshape(b, h, l, d)
 
 
 def _attention_reference(q, k, v, causal: bool):
@@ -158,34 +162,37 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
 
 
 def _flash_backward(q, k, v, g, causal: bool):
+    """No explicit HBM padding (same rationale as the forward):
+    explicit jnp.pad here materialized SEVEN [B*H, Lp, 128]-padded HBM
+    arrays per layer call (2x the bytes at Dh=64), which pushed the b8
+    B/16x30 stretch point from fitting (19.95 clips/s with the old
+    XLA-vjp backward) to a proven 16.15G-of-15.75G OOM. Unpadded
+    blocks read/write the arrays as-is."""
     b, h, l, d = q.shape
-    lp = _round_up(l, 128)
-    dp_ = _round_up(d, 128)
     scale = d ** -0.5
 
     def prep(t):
-        t = t.reshape(b * h, l, d)
-        return jnp.pad(t, ((0, 0), (0, lp - l), (0, dp_ - d)))
+        return t.reshape(b * h, l, d)
 
     qp, kp, vp, gp = prep(q), prep(k), prep(v), prep(g)
     kernel = functools.partial(
         _attention_bwd_kernel, true_len=l, causal=causal, scale=scale)
-    spec = pl.BlockSpec((1, lp, dp_), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b * h,),
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((b * h, lp, dp_), q.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b * h, l, d), q.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
-            flops=10 * b * h * lp * lp * dp_,
-            bytes_accessed=7 * b * h * lp * dp_ * q.dtype.itemsize,
-            transcendentals=b * h * lp * lp),
+            flops=10 * b * h * l * l * d,
+            bytes_accessed=7 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l),
     )(qp, kp, vp, gp)
 
     def unprep(t):
-        return t[:, :l, :d].reshape(b, h, l, d)
+        return t.reshape(b, h, l, d)
 
     return unprep(dq), unprep(dk), unprep(dv)
 
