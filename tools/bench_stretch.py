@@ -25,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(batch_size: int, use_pallas: bool, frames: int = 30):
+def build(batch_size: int, use_pallas: bool, frames: int = 30,
+          state_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -62,15 +63,16 @@ def build(batch_size: int, use_pallas: bool, frames: int = 30):
     }
     tx = build_optimizer(params, lr=1e-4, text_lr=1e-5, coef_lr=1e-3,
                          weight_decay=0.2, warmup_proportion=0.1,
-                         t_total=3600)
+                         t_total=3600, state_dtype=state_dtype)
     state = FinetuneState.create(params, tx)
     step = make_finetune_step(model, tx, cross, use_frame_fea=True)
     return step, state, batch
 
 
 def run_point(batch_size: int, use_pallas: bool, iters: int,
-              frames: int = 30):
-    step, state, batch = build(batch_size, use_pallas, frames)
+              frames: int = 30, state_dtype=None):
+    step, state, batch = build(batch_size, use_pallas, frames,
+                               state_dtype=state_dtype)
     for _ in range(2):
         state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -98,16 +100,29 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--batches", default="2,4,8")
+    p.add_argument("--bf16_state", action="store_true",
+                   help="bf16 BertAdam moments (--optim_bf16_state): part "
+                        "of the measured b8 recipe — kernel + bf16 moments "
+                        "together run 25.27 clips/s at b8 where neither "
+                        "alone fits/wins (docs/design.md)")
     args = p.parse_args()
 
     from bench import _peak_flops  # reuse the per-gen peak table
 
+    state_dtype = None
+    if args.bf16_state:
+        import jax.numpy as jnp
+
+        state_dtype = jnp.bfloat16
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
         for pallas in (False, True):
             tag = f"b{b}_{'pallas' if pallas else 'xla'}"
+            if args.bf16_state:
+                tag += "_bf16state"
             try:
-                clips, flops = run_point(b, pallas, args.iters, args.frames)
+                clips, flops = run_point(b, pallas, args.iters, args.frames,
+                                         state_dtype=state_dtype)
                 mfu = (flops * (clips / b) / _peak_flops()
                        if flops else None)
                 rec = {"point": tag, "clips_per_sec_per_chip":
