@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(arch_name: str, batch_size: int, frames: int,
-          use_pallas: bool = False, remat: bool = False):
+          use_pallas: bool = False, remat: bool = False,
+          state_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +66,7 @@ def build(arch_name: str, batch_size: int, frames: int,
     }
     tx = build_optimizer(params, lr=1e-4, text_lr=1e-5, coef_lr=1e-3,
                          weight_decay=0.2, warmup_proportion=0.1,
-                         t_total=3600)
+                         t_total=3600, state_dtype=state_dtype)
     state = FinetuneState.create(params, tx,
                                  batch_stats=variables.get("batch_stats"))
     step = make_finetune_step(model, tx, cross, use_frame_fea=True)
@@ -73,9 +74,11 @@ def build(arch_name: str, batch_size: int, frames: int,
 
 
 def run_point(arch_name: str, batch_size: int, iters: int, frames: int,
-              use_pallas: bool = False, remat: bool = False):
+              use_pallas: bool = False, remat: bool = False,
+              state_dtype=None):
     step, state, batch = build(arch_name, batch_size, frames,
-                               use_pallas=use_pallas, remat=remat)
+                               use_pallas=use_pallas, remat=remat,
+                               state_dtype=state_dtype)
     for _ in range(2):
         state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -110,6 +113,11 @@ def main():
                         "the Pallas on/off question per geometry "
                         "(VERDICT r3 #1: ViT-L/14@336px, the only shipped "
                         "geometry above the kernel's L>=512 crossover)")
+    p.add_argument("--bf16_state", action="store_true",
+                   help="bf16 BertAdam moments; with --attention pallas "
+                        "this is the measured recipe that fits "
+                        "ViT-L/14@336px at batch 2 on a 16 GB chip "
+                        "(docs/design.md)")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint the towers (extends the batch envelope "
                         "for L/14@336 on a 16 GB chip)")
@@ -119,6 +127,11 @@ def main():
 
     attn_variants = {"xla": (False,), "pallas": (True,),
                      "both": (False, True)}[args.attention]
+    state_dtype = None
+    if args.bf16_state:
+        import jax.numpy as jnp
+
+        state_dtype = jnp.bfloat16
     for arch_name in args.archs.split(","):
         results = []
         for b in [int(x) for x in args.batches.split(",")]:
@@ -128,11 +141,14 @@ def main():
                     tag += "_pallas" if use_pallas else "_xla"
                 if args.remat:
                     tag += "_remat"
+                if args.bf16_state:
+                    tag += "_bf16state"
                 try:
                     clips, flops = run_point(arch_name, b, args.iters,
                                              args.frames,
                                              use_pallas=use_pallas,
-                                             remat=args.remat)
+                                             remat=args.remat,
+                                             state_dtype=state_dtype)
                     mfu = (flops * (clips / b) / _peak_flops()
                            if flops else None)
                     rec = {"point": tag,
