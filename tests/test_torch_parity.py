@@ -71,6 +71,30 @@ def test_multihead_attention_causal_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
 
 
+def test_batched_head_layout_equals_inplace():
+    """`HMMC_ATTN_LAYOUT=batched_head` (ops/attention._mha_batched_head,
+    the round-4 measurement apparatus — head split folded into the
+    projection GEMM) must be numerically identical to the default
+    inplace path, with and without mask / return_weights."""
+    from hmmc_tpu.ops import attention as A
+
+    B, L, D, H = 3, 10, 16, 4
+    x = jnp.asarray(_randf(B, L, D))
+    in_w = jnp.asarray(_randf(D, 3 * D))
+    in_b = jnp.asarray(_randf(3 * D))
+    out_w = jnp.asarray(_randf(D, D))
+    out_b = jnp.asarray(_randf(D))
+    for mask in (None, causal_mask(L)):
+        ref, wr = multi_head_attention(x, in_w, in_b, out_w, out_b, H,
+                                       mask=mask, return_weights=True)
+        alt, wa = A._mha_batched_head(x, in_w, in_b, out_w, out_b, H,
+                                      mask, True)
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wr),
+                                   atol=1e-6, rtol=1e-6)
+
+
 @pytest.mark.parametrize("eps", [1e-5, 1e-12])
 def test_layernorm_matches_torch(eps):
     D = 24
