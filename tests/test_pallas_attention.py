@@ -63,6 +63,27 @@ def test_fused_gradient_matches_xla():
                                    atol=5e-5, rtol=1e-3)
 
 
+def test_fused_gradient_matches_xla_noncausal_unaligned():
+    """The round-4 fused backward kernel at a lane/sublane-UNALIGNED
+    geometry (L=50, Dh=32 — the blocks are read without explicit
+    padding, so Mosaic's internal tail masking is on the line here;
+    on-chip parity at L=197 is additionally verified in round-4 logs)."""
+    b, h, l, d = 2, 3, 50, 32
+    q, k, v = (_rand((b, h, l, d), 40 + i) for i in range(3))
+
+    def f_ours(q, k, v):
+        return jnp.sum(pa.fused_attention(q, k, v, False) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, None) ** 2)
+
+    g_ours = jax.grad(f_ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=1e-3)
+
+
 def test_flash_entry_mask_fallback():
     b, h, l, d = 1, 2, 16, 16
     q, k, v = (_rand((b, h, l, d), 30 + i) for i in range(3))
