@@ -53,12 +53,20 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, true_len: int,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale     # [Lp, Lp]
     lp = logits.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    mask = cols < true_len                       # kill padded keys
+    # blocks carry the TRUE length since round 4, so the padded-key mask
+    # (cols < true_len) only materializes when a caller ever pads again;
+    # the common paths build either no mask (ViT/temporal) or causal-only
+    mask = None
+    if lp > true_len:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+        mask = cols < true_len                   # kill padded keys
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
-        mask = jnp.logical_and(mask, cols <= rows)
-    logits = jnp.where(mask, logits, -1e30)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+        cm = cols <= rows
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     w = jnp.exp(logits - m)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
@@ -135,12 +143,17 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [Lp, Lp]
     lp = logits.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    mask = cols < true_len
+    mask = None
+    if lp > true_len:                            # see _attention_kernel
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+        mask = cols < true_len
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
-        mask = jnp.logical_and(mask, cols <= rows)
-    logits = jnp.where(mask, logits, -1e30)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+        cm = cols <= rows
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     w = jnp.exp(logits - m)
     p = w / jnp.sum(w, axis=-1, keepdims=True)            # [Lp, Lp]
