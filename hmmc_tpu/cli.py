@@ -105,7 +105,13 @@ def get_args(description: str = "HMMC-TPU on Retrieval Task",
                         "over DCN (mesh laid out slice-major so seq/model "
                         "collectives stay on ICI; dp_size stays the TOTAL "
                         "data shards)")
-    p.add_argument("--use_pallas_attention", action="store_true")
+    p.add_argument("--use_pallas_attention", nargs="?", const="on",
+                   default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas attention kernel: 'auto' (default) "
+                        "picks it when the ViT patch sequence reaches the "
+                        "measured crossover (ViT-L/14@336px territory, "
+                        "+27-33%%) and the XLA path below it; bare flag "
+                        "= 'on'")
     p.add_argument("--optim_bf16_state", action="store_true",
                    help="store BertAdam m/v moments in bf16 (fp32 math, "
                         "bf16 carry): halves optimizer-state HBM traffic, "

@@ -101,10 +101,18 @@ def build_model(task: TaskConfig, cross: CrossConfig,
     else:
         arch = ClipArch.by_name(cross.pretrained_clip_name)
     dtype = jnp.bfloat16 if task.compute_dtype == "bfloat16" else jnp.float32
+    from hmmc_tpu.config import PALLAS_AUTO_MIN_SEQ, resolve_use_pallas
+
+    use_pallas = resolve_use_pallas(task.use_pallas_attention, arch)
+    if task.use_pallas_attention == "auto" and use_pallas:
+        logger.info(
+            "auto-selected the Pallas fused attention kernel (patch "
+            "sequence %d >= %d, the measured win geometry — "
+            "--use_pallas_attention off forces the XLA path)",
+            arch.grid_size ** 2 + 1, PALLAS_AUTO_MIN_SEQ)
     common = dict(
         arch=arch, cross_config=cross, language=task.language,
-        use_temp=task.use_temp, dtype=dtype,
-        use_pallas=task.use_pallas_attention)
+        use_temp=task.use_temp, dtype=dtype, use_pallas=use_pallas)
     if task.language == "chinese":
         # size the Chinese tower's embedding by the actual tokenizer vocab
         # (21128 for the stock BERT vocab; tiny in tests)

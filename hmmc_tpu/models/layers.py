@@ -47,8 +47,67 @@ ACT2FN = {"gelu": gelu_erf, "relu": jax.nn.relu, "quick_gelu": quick_gelu,
           "swish": jax.nn.silu}
 
 
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """fp32-statistics LayerNorm returning the input dtype — THE layer-norm
+    numerics (eps, fp32 stats, cast-back), shared by the flax
+    :class:`LayerNorm` module and the pure-function block path
+    (:func:`block_forward` / ops.token_filter)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def block_forward(x: jnp.ndarray, p, num_heads: int,
+                  mask: Optional[jnp.ndarray] = None,
+                  return_weights: bool = False):
+    """One pre-LN residual attention block as a PURE function over a
+    per-layer parameter dict ``p`` with the module tree's layout
+    ({ln_1,ln_2}{scale,bias}, attn{in_proj_kernel,in_proj_bias,out_kernel,
+    out_bias}, {c_fc,c_proj}{kernel,bias}) — the single block
+    implementation behind both the flax :class:`ResidualAttentionBlock`
+    (same layer_norm / multi_head_attention / quick_gelu pieces, params
+    held by submodules) and the stacked-leaf eval paths
+    (ops.token_filter). Compute dtype follows ``x.dtype``."""
+    dtype = x.dtype
+    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+    attn = p["attn"]
+    out = multi_head_attention(
+        h, attn["in_proj_kernel"], attn["in_proj_bias"],
+        attn["out_kernel"], attn["out_bias"], num_heads, mask,
+        return_weights=return_weights)
+    weights = None
+    if return_weights:
+        out, weights = out
+    x = x + out
+    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    h = jnp.dot(h, p["c_fc"]["kernel"].astype(dtype))
+    h = h + p["c_fc"]["bias"].astype(dtype)
+    h = quick_gelu(h)
+    h = jnp.dot(h, p["c_proj"]["kernel"].astype(dtype))
+    h = h + p["c_proj"]["bias"].astype(dtype)
+    x = x + h
+    return (x, weights) if return_weights else x
+
+
+def stacked_block_forward(x: jnp.ndarray, stacked, i: int, num_heads: int,
+                          mask: Optional[jnp.ndarray] = None,
+                          return_weights: bool = False):
+    """:func:`block_forward` over the nn.scan-stacked [layers, ...]
+    parameter leaves at layer index ``i`` (the Transformer module stacks
+    per-layer params along a leading axis; eval-path pure functions index
+    that layout directly so checkpoints need no re-layout)."""
+    p = jax.tree_util.tree_map(lambda leaf: leaf[i], stacked)
+    return block_forward(x, p, num_heads, mask, return_weights)
+
+
 class LayerNorm(nn.Module):
-    """fp32-statistics LayerNorm returning the input dtype.
+    """fp32-statistics LayerNorm returning the input dtype (numerics in
+    :func:`layer_norm`).
 
     eps defaults to torch nn.LayerNorm's 1e-5 (CLIP towers); the MLM head
     uses 1e-12 (module_cross.py:344-357).
@@ -64,13 +123,7 @@ class LayerNorm(nn.Module):
             "scale", nn.initializers.ones, (dim,), self.param_dtype)
         bias = self.param(
             "bias", nn.initializers.zeros, (dim,), self.param_dtype)
-        orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(orig_dtype)
+        return layer_norm(x, scale, bias, self.eps)
 
 
 class Linear(nn.Module):

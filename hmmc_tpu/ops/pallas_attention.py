@@ -22,10 +22,11 @@ probabilities per (batch, head) block in VMEM and emits dq/dk/dv — no
 through the jnp reference, whose recompute materializes fp32
 [B*H, L, L] logits+probs as HBM temps.)
 
-XLA attention stays the DEFAULT (TaskConfig.use_pallas_attention=False)
-— at the flagship L=50 geometry XLA's batched GEMM lowering still wins
-in-model; the kernel is the memory-envelope/long-L option (in-model
-numbers: docs/design.md).
+Selection is geometry-aware by default (TaskConfig.use_pallas_attention
+= "auto", config.resolve_use_pallas): XLA below the measured crossover
+— at the flagship L=50 geometry XLA's batched GEMM lowering wins
+in-model — and this kernel at/above it (ViT-L/14@336px, +27-33%);
+"on"/"off" force a path (in-model numbers: docs/design.md).
 """
 
 from __future__ import annotations

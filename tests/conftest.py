@@ -35,9 +35,7 @@ SIGABRT before printing its summary, 2/3 times mid-suite and once after
    still report normally, and an abort DURING the run is unaffected.
 """
 
-import hashlib
 import os
-import platform
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -70,40 +68,23 @@ jax.config.update("jax_platforms", "cpu")
 # semaphore vs a blocking rendezvous (see module docstring, point 1).
 
 
-def _host_fingerprint() -> str:
-    """Stable per-machine tag from the CPU feature flags AND the CPU
-    model identity. XLA:CPU AOT results are specialized on both axes:
-    the ISA features come from cpuid flags, but tuning features like
-    ``prefer-no-scatter``/``prefer-no-gather`` are chosen from the CPU
-    family/model — two VMs with identical `flags` lines but different
-    microarchitectures produced cross-loaded AOT entries with
-    machine-feature-mismatch warnings (observed 2026-08-19)."""
-    try:
-        feats, ident = "", []
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                key = line.split(":", 1)[0].strip()
-                if key == "flags" and not feats:
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                elif key in ("vendor_id", "cpu family", "model",
-                             "model name", "stepping") and len(ident) < 5:
-                    ident.append(line.strip())
-        if feats:
-            return hashlib.sha1(
-                (feats + "|" + "|".join(ident)).encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return platform.machine() or "unknown"
-
-
 # Persistent XLA compile cache: the suite's wall-clock is dominated by
 # repeated jit compiles of near-identical tiny-arch steps; cache them
-# across tests AND across runs — but never across machines (see module
-# docstring). (runner._enable_compile_cache respects an already-
-# configured cache dir, so CLI-smoke tests share this one.)
+# across tests AND across runs — but never across COMPILE TARGETS: the
+# directory is keyed by the actual XLA:CPU compile-target feature string
+# (extracted from a canary executable — exactly what cpu_aot_loader
+# validates at load), falling back to a cpuinfo fingerprint when the
+# probe is unavailable (hmmc_tpu.utils.xla_cache.cache_fingerprint).
+# Two machines whose XLA picks different target features — however
+# similar their cpuinfo — can never share AOT entries, which is what
+# "could lead to execution errors such as SIGILL" warned about.
+# (runner._enable_compile_cache respects an already-configured cache
+# dir, so CLI-smoke tests share this one.)
+from hmmc_tpu.utils.xla_cache import cache_fingerprint  # noqa: E402
+
 _cache = os.path.join(
     os.path.expanduser("~"), ".cache",
-    f"hmmc_tpu_test_xla_{_host_fingerprint()}")
+    f"hmmc_tpu_test_xla_{cache_fingerprint()}")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

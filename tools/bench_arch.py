@@ -107,12 +107,14 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--batches", default="2,4,8")
-    p.add_argument("--attention", choices=["xla", "pallas", "both"],
+    p.add_argument("--attention", choices=["xla", "pallas", "both", "auto"],
                    default="xla",
                    help="which attention path(s) to bench — 'both' settles "
                         "the Pallas on/off question per geometry "
                         "(VERDICT r3 #1: ViT-L/14@336px, the only shipped "
-                        "geometry above the kernel's L>=512 crossover)")
+                        "geometry above the kernel's L>=512 crossover); "
+                        "'auto' benches what config.resolve_use_pallas "
+                        "picks for each arch (the shipped default)")
     p.add_argument("--bf16_state", action="store_true",
                    help="bf16 BertAdam moments; with --attention pallas "
                         "this is the measured recipe that fits "
@@ -125,19 +127,27 @@ def main():
 
     from bench import _peak_flops
 
-    attn_variants = {"xla": (False,), "pallas": (True,),
-                     "both": (False, True)}[args.attention]
     state_dtype = None
     if args.bf16_state:
         import jax.numpy as jnp
 
         state_dtype = jnp.bfloat16
     for arch_name in args.archs.split(","):
+        if args.attention == "auto":
+            from hmmc_tpu.config import ClipArch, resolve_use_pallas
+
+            attn_variants = (resolve_use_pallas(
+                "auto", ClipArch.by_name(arch_name)),)
+        else:
+            attn_variants = {"xla": (False,), "pallas": (True,),
+                             "both": (False, True)}[args.attention]
         results = []
         for b in [int(x) for x in args.batches.split(",")]:
             for use_pallas in attn_variants:
                 tag = f"{arch_name}_b{b}"
-                if len(attn_variants) > 1 or use_pallas:
+                if args.attention == "auto":
+                    tag += "_auto-" + ("pallas" if use_pallas else "xla")
+                elif len(attn_variants) > 1 or use_pallas:
                     tag += "_pallas" if use_pallas else "_xla"
                 if args.remat:
                     tag += "_remat"

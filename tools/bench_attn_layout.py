@@ -33,14 +33,26 @@ import hmmc_tpu.ops.attention as attention  # noqa: E402
 
 
 def finetune_modes(batch: int):
-    """{layout: bench._FinetuneCfg} — each cfg's jitted step was TRACED
-    under its layout; cfg.window() re-inits state per window so modes
-    never co-reside."""
+    """{layout: bench._FinetuneCfg} — each cfg's jitted step is TRACED
+    (first concrete call) while its layout is active; cfg.window()
+    re-inits state per window so modes never co-reside.
+
+    The trace must run HERE: make_finetune_step returns a lazily-jitted
+    function whose Python body (and hence the _ATTN_LAYOUT read) only
+    executes at the first concrete call — building the cfg alone would
+    let both modes trace later, after the global is reset, and compare
+    inplace against itself (advisor r4 finding)."""
     modes = {}
     for layout in ("inplace", "batched_head"):
         attention._ATTN_LAYOUT = layout
         cfg = bench._FinetuneCfg(batch)
         cfg._build()
+        # one throwaway step forces jit tracing under the active layout
+        # (jit populates its dispatch cache on CALL, not on build/lower)
+        st = cfg._make_state()
+        st, m = cfg._step(st, cfg._batch)
+        float(m["loss"])
+        del st
         modes[layout] = cfg
     attention._ATTN_LAYOUT = "inplace"
     return modes
@@ -61,13 +73,25 @@ def run_pretrain(batch: int, rounds: int, iters: int):
     mode's step (the step donates its input)."""
     import jax
 
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(64)]
+
+    def traced(step, state, batch_arrs):
+        # force jit tracing while the layout global is active (see
+        # finetune_modes) — the step donates its input, so trace on a copy
+        st = jax.tree_util.tree_map(lambda x: x.copy(), state)
+        st, m = step(st, batch_arrs, rngs[0])
+        float(m["loss"])
+        del st
+        return step
+
     attention._ATTN_LAYOUT = "inplace"
     step_a, state, batch_arrs = bench.build_pretrain(batch)
+    traced(step_a, state, batch_arrs)
     attention._ATTN_LAYOUT = "batched_head"
     step_b, state_b, batch_b = bench.build_pretrain(batch)
+    traced(step_b, state_b, batch_b)
     del state_b, batch_b
     attention._ATTN_LAYOUT = "inplace"
-    rngs = [jax.random.PRNGKey(100 + i) for i in range(64)]
 
     def window(step, warmup):
         st = jax.tree_util.tree_map(lambda x: x.copy(), state)
