@@ -41,6 +41,27 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+def auto_video_block(arch, frames: int, budget_bytes: float = 2.5e9) -> int:
+    """Geometry-aware eval encode block: the largest power of two <= 64
+    whose fp32 attention probabilities [B*F, H, L, L] fit ``budget_bytes``.
+
+    The probabilities are the block's peak live tensor — at ViT-L/14@336px
+    the old fixed block of 64 demanded a single 16.4 GB alloc
+    (f32[768,16,577,577]) and could never compile on a 16 GB chip (the
+    round-4 ">25 min eval-encode stall"; root-caused round 5, the
+    allocator line is in docs/design.md). The budget leaves headroom for
+    weights + the rest of the live set; block 8 at @336 (2.0 GB) is the
+    measured-working recipe (18.3 clips/s, docs/serving.md)."""
+    if arch.is_resnet:
+        return 64
+    seq = arch.grid_size ** 2 + 1
+    heads = arch.vision_heads
+    b = 64
+    while b > 1 and b * frames * heads * seq * seq * 4.0 > budget_bytes:
+        b //= 2
+    return b
+
+
 class _BlockedEncoder:
     """Accumulates host rows and runs a jitted encoder over FIXED-size
     blocks, padding only the final partial block.
@@ -99,7 +120,7 @@ class _BlockedEncoder:
 class Evaluator:
     def __init__(self, model, task: TaskConfig, query_block: int = 512,
                  weight_title: float = 0.5, text_block: int = 512,
-                 video_block: int = 64, mesh=None):
+                 video_block: Optional[int] = None, mesh=None):
         """``mesh``: when given (and this is a single-process run over a
         >1-device ``data`` axis), eval blocks are batch-sharded over the
         mesh and the params replicated, so feature caching and the
@@ -112,6 +133,13 @@ class Evaluator:
         self.query_block = query_block
         self.weight_title = weight_title
         self.text_block = text_block
+        if video_block is None:
+            video_block = auto_video_block(model.arch, task.max_frames)
+            logger.info("eval video block auto-sized to %d "
+                        "(seq %s, %d frames)", video_block,
+                        "RN" if model.arch.is_resnet
+                        else model.arch.grid_size ** 2 + 1,
+                        task.max_frames)
         self.video_block = video_block
 
         self._bshard = self._rep = None
