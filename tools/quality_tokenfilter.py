@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--shuffles", type=int, default=4,
+                    help="how many fixed random sentence orders the "
+                         "device batches are built from (negative-pool "
+                         "diversity; 1 reproduces dataset order)")
     ap.add_argument("--keeps", default="50,26,13")
     ap.add_argument("--filter_layer", type=int, default=4)
     ap.add_argument("--eval_from_train", action="store_true",
@@ -47,6 +51,13 @@ def main():
                          "filter's quality effect is measured against a "
                          "genuinely learned ranking, not generalization "
                          "noise")
+    ap.add_argument("--holdout_eval", action="store_true",
+                    help="train on each video's SECOND caption only and "
+                         "eval on the (held-out) first-caption test csv — "
+                         "paraphrase generalization keeps full-tower R@1 "
+                         "off the 100 ceiling, giving the quality curve "
+                         "top-end resolution (a fully overfit model "
+                         "retrieves perfectly even through keep 13)")
     args = ap.parse_args()
 
     import jax
@@ -105,22 +116,37 @@ def main():
 
     # decode every train sample ONCE (eval-mode frames, deterministic),
     # then loop fixed device batches — the host's 1-core decode never
-    # gates the overfit loop
-    items = [train_ds[i] for i in range(len(train_ds))]
+    # gates the overfit loop. Batches are built from SHUFFLED sentence
+    # orders (several fixed permutations): the dataset lists both
+    # captions of a video adjacently, so sequential chunks would put
+    # duplicate videos in every batch and halve the effective in-batch
+    # negative pool (observed as a hard ln(4) loss floor and a 25% R@1
+    # ceiling on the 64-video set).
+    idx = range(len(train_ds))
+    if args.holdout_eval:
+        # MSRVTT_data.json lists each video's captions adjacently
+        # (make_synthetic_data: [cap0, cap1] per video) and the train
+        # dataset unfolds sentences in file order, so odd indices are
+        # the second captions; the test csv carries cap0 — held out.
+        idx = range(1, len(train_ds), 2)
+    items = [train_ds[i] for i in idx]
     n = len(items)
+    perm_rng = np.random.default_rng(0)
     batches = []
-    for s in range(0, n - args.batch + 1, args.batch):
-        chunk = items[s:s + args.batch]
-        batches.append({
-            "query_ids": jnp.asarray(
-                np.stack([it["query_ids"] for it in chunk])),
-            "query_mask": jnp.asarray(
-                np.stack([it["query_mask"] for it in chunk])),
-            "video": image_ops.normalize(image_ops.to_float(jnp.asarray(
-                np.stack([it["video"] for it in chunk])))),
-        })
+    for _ in range(max(1, args.shuffles)):
+        order = perm_rng.permutation(n)
+        for s in range(0, n - args.batch + 1, args.batch):
+            chunk = [items[j] for j in order[s:s + args.batch]]
+            batches.append({
+                "query_ids": jnp.asarray(
+                    np.stack([it["query_ids"] for it in chunk])),
+                "query_mask": jnp.asarray(
+                    np.stack([it["query_mask"] for it in chunk])),
+                "video": image_ops.normalize(image_ops.to_float(jnp.asarray(
+                    np.stack([it["video"] for it in chunk])))),
+            })
     print(f"# {n} train sentences -> {len(batches)} fixed batches of "
-          f"{args.batch}", file=sys.stderr)
+          f"{args.batch} ({args.shuffles} shuffles)", file=sys.stderr)
 
     arch = ClipArch.by_name("ViT-B/32")
     cross = CrossConfig()
