@@ -230,20 +230,74 @@ class ClipArch:
             linear_patch=linear_patch)
 
 
-# Measured attention-kernel crossover (docs/design.md, round 4, v5e):
-# the Pallas fused kernel loses 33% at L=50 (ViT-B/32) and is within
-# noise/behind at L=197 (ViT-B/16 @224), but wins +27-33% in-model at
-# L=577 (ViT-L/14@336px). "auto" picks the kernel only at or above this
-# patch-sequence length — conservatively the smallest measured WIN
-# geometry, not an interpolated guess.
-PALLAS_AUTO_MIN_SEQ = 512
+# Measured attention-kernel crossover (docs/design.md, rounds 4-5,
+# v5e): the Pallas fused kernel loses 33% at L=50 (ViT-B/32) and is
+# within noise/behind at L=197 (ViT-B/16 @224), but wins +12.7%
+# in-model at L=257 (ViT-L/14@224, b4: 14.85 vs 13.18) and +27-33% at
+# L=577 (ViT-L/14@336px). "auto" picks the kernel at or above this
+# patch-sequence length — between the measured LOSS at 197 and the
+# measured WIN at 257.
+PALLAS_AUTO_MIN_SEQ = 256
 
 
-def resolve_use_pallas(setting, arch: "ClipArch") -> bool:
+def approx_vit_param_count(arch: "ClipArch",
+                           temporal_layers: int = 4) -> int:
+    """Analytic parameter-count estimate for a ViT-tower BirdModel
+    (towers + temporal transformer), for HBM-envelope thresholds BEFORE
+    any expensive init: ViT-B/32 -> ~164M (actual 151M), ViT-L/14@336px
+    -> ~455M (actual 428M) — within ~10%, which is enough for a
+    0.4x16 GB advice threshold. ResNet towers use the real count from
+    the built params instead (runner paths)."""
+    v = (3 * arch.vision_patch_size ** 2 * arch.vision_width
+         + 12 * arch.vision_layers * arch.vision_width ** 2
+         + arch.vision_width * arch.embed_dim)
+    t = (arch.vocab_size * arch.transformer_width
+         + 12 * arch.transformer_layers * arch.transformer_width ** 2
+         + arch.transformer_width * arch.embed_dim)
+    temporal = 12 * temporal_layers * arch.embed_dim ** 2
+    return int(v + t + temporal)
+
+
+def estimate_step_footprint_gb(param_count: int, arch: "ClipArch",
+                               batch_size: int, frames: int,
+                               pretrain: bool = False) -> float:
+    """Coarse fine-tune/pretrain train-step HBM estimate:
+    params+grads+fp32 moments at 12 bytes/param (x2 towers in pretrain)
+    plus ~6 saved bf16 tensors per transformer layer per image.
+    Calibrated against the measured 16 GB-v5e OOM envelope
+    (docs/design.md): L/14@336 b2 ~9.2 GB and B/16 f30 b8 ~7.0 GB (both
+    measured to NOT fit with fp32 moments/XLA attention) land above the
+    0.4x16 GB advice threshold, the flagship shapes (<4 GB) below it."""
+    if arch.is_resnet:
+        seq, width, layers = 50, arch.vision_width * 2, 12
+    else:
+        seq = arch.grid_size ** 2 + 1
+        width, layers = arch.vision_width, arch.vision_layers
+    state_bytes = 12.0 * param_count * (2.0 if pretrain else 1.0)
+    images = batch_size * frames
+    act_bytes = images * seq * width * layers * 2.0 * 6.0
+    return (state_bytes + act_bytes) / 1e9
+
+
+def resolve_use_pallas(setting, arch: "ClipArch",
+                       batch_per_chip: int = 0, frames: int = 0,
+                       param_count: int = 0,
+                       hbm_gb: float = 16.0) -> bool:
     """Resolve a ``use_pallas_attention`` setting ("auto"/"on"/"off" or
-    bool) against the tower geometry. Auto selects the Pallas fused
-    kernel only for 2d-patch ViT towers whose patch sequence
-    (grid^2 + 1) reaches :data:`PALLAS_AUTO_MIN_SEQ`."""
+    bool) against the tower geometry (2d-patch ViT towers only). Auto
+    selects the Pallas fused kernel when either
+
+    - the patch sequence (grid^2 + 1) reaches
+      :data:`PALLAS_AUTO_MIN_SEQ` — the measured THROUGHPUT win
+      (ViT-L/14@336px +27-33%); or
+    - the per-chip step-footprint estimate crosses ~40% of HBM (when the
+      caller supplies batch/frames/param_count) — the MEMORY-envelope
+      case: the kernel's unpadded blocks never materialize the [L, L]
+      attention tensors, and pallas(+bf16 moments) is the measured
+      recipe that fits ViT-B/16 f30 b8 where the XLA path OOMs
+      (docs/oom_stretch_b8.txt) while XLA remains best-known below that
+      envelope (B/16 f30 b4).
+    """
     if setting in (True, "on"):
         return True
     if setting in (False, "off"):
@@ -254,7 +308,13 @@ def resolve_use_pallas(setting, arch: "ClipArch") -> bool:
     if arch.is_resnet or arch.linear_patch != "2d":
         return False
     seq = arch.grid_size ** 2 + 1
-    return seq >= PALLAS_AUTO_MIN_SEQ
+    if seq >= PALLAS_AUTO_MIN_SEQ:
+        return True
+    if batch_per_chip and frames and param_count:
+        est = estimate_step_footprint_gb(param_count, arch,
+                                         batch_per_chip, frames)
+        return est >= 0.4 * hbm_gb
+    return False
 
 
 def suggest_optim_bf16_state(param_count: int, arch: "ClipArch",
@@ -262,24 +322,16 @@ def suggest_optim_bf16_state(param_count: int, arch: "ClipArch",
                              pretrain: bool = False,
                              hbm_gb: float = 16.0):
     """Warn-and-suggest heuristic for ``--optim_bf16_state`` (judge r4
-    next #2): returns a suggestion message when the coarse train-step HBM
-    estimate — params+grads+fp32 moments at 12 bytes/param (x2 towers in
-    pretrain) plus ~6 saved bf16 tensors per transformer layer per image
-    — crosses ~40% of the chip's HBM, else None. Calibrated against the
-    measured 16 GB-v5e envelope (docs/design.md): flags the proven
-    OOM-without-bf16-moments recipes (ViT-L/14@336px b>=2, ViT-B/16 f30
-    b8) and the pretrain flagship, not the ViT-B/32 fine-tune shapes.
-    bf16 moments are additionally +3.4% step throughput where everything
-    already fits, so a false positive costs nothing."""
-    if arch.is_resnet:
-        seq, width, layers = 50, arch.vision_width * 2, 12
-    else:
-        seq = arch.grid_size ** 2 + 1
-        width, layers = arch.vision_width, arch.vision_layers
+    next #2): returns a suggestion message when
+    :func:`estimate_step_footprint_gb` crosses ~40% of the chip's HBM,
+    else None. Flags the proven OOM-without-bf16-moments recipes
+    (ViT-L/14@336px b>=2, ViT-B/16 f30 b8), not the ViT-B/32 fine-tune
+    shapes. bf16 moments are additionally +3.4% step throughput where
+    everything already fits, so a false positive costs nothing."""
+    est_gb = estimate_step_footprint_gb(param_count, arch, batch_size,
+                                        frames, pretrain)
     state_bytes = 12.0 * param_count * (2.0 if pretrain else 1.0)
-    images = batch_size * frames
-    act_bytes = images * seq * width * layers * 2.0 * 6.0
-    est_gb = (state_bytes + act_bytes) / 1e9
+    act_bytes = est_gb * 1e9 - state_bytes
     if est_gb < 0.4 * hbm_gb:
         return None
     return (

@@ -101,15 +101,35 @@ def build_model(task: TaskConfig, cross: CrossConfig,
     else:
         arch = ClipArch.by_name(cross.pretrained_clip_name)
     dtype = jnp.bfloat16 if task.compute_dtype == "bfloat16" else jnp.float32
-    from hmmc_tpu.config import PALLAS_AUTO_MIN_SEQ, resolve_use_pallas
+    from hmmc_tpu.config import (PALLAS_AUTO_MIN_SEQ,
+                                 approx_vit_param_count,
+                                 resolve_use_pallas)
 
-    use_pallas = resolve_use_pallas(task.use_pallas_attention, arch)
+    # per-chip TRAIN batch for the memory-envelope branch of auto
+    # selection (only meaningful when a train step will actually run)
+    per_chip_b = 0
+    if task.do_train or task.do_pretrain:
+        dp = task.dp_size
+        if not dp:
+            try:
+                dp = max(1, jax.device_count())
+            except Exception:
+                dp = 1
+        per_chip_b = max(1, task.micro_batch_size // max(dp, 1))
+    use_pallas = resolve_use_pallas(
+        task.use_pallas_attention, arch, batch_per_chip=per_chip_b,
+        frames=task.max_frames,
+        param_count=0 if arch.is_resnet else approx_vit_param_count(
+            arch, cross.temporal_hidden_layers))
     if task.use_pallas_attention == "auto" and use_pallas:
+        seq = arch.grid_size ** 2 + 1
+        why = (f"patch sequence {seq} >= {PALLAS_AUTO_MIN_SEQ}, the "
+               "measured win geometry" if seq >= PALLAS_AUTO_MIN_SEQ
+               else "step footprint near the HBM envelope — the kernel "
+                    "never materializes the [L, L] attention tensors")
         logger.info(
-            "auto-selected the Pallas fused attention kernel (patch "
-            "sequence %d >= %d, the measured win geometry — "
-            "--use_pallas_attention off forces the XLA path)",
-            arch.grid_size ** 2 + 1, PALLAS_AUTO_MIN_SEQ)
+            "auto-selected the Pallas fused attention kernel (%s — "
+            "--use_pallas_attention off forces the XLA path)", why)
     common = dict(
         arch=arch, cross_config=cross, language=task.language,
         use_temp=task.use_temp, dtype=dtype, use_pallas=use_pallas)

@@ -348,8 +348,10 @@ def test_geometry_auto_defaults():
     auto = {name: resolve_use_pallas("auto", ClipArch.by_name(name))
             for name in ("ViT-B/32", "ViT-B/16", "ViT-L/14",
                          "ViT-L/14@336px", "RN50", "RN50x64")}
+    # measured r5: the kernel WINS at L=257 (ViT-L/14@224 b4, +12.7%)
+    # and loses at L=197/50, so the auto threshold sits between
     assert auto == {"ViT-B/32": False, "ViT-B/16": False,
-                    "ViT-L/14": False, "ViT-L/14@336px": True,
+                    "ViT-L/14": True, "ViT-L/14@336px": True,
                     "RN50": False, "RN50x64": False}
     b32 = ClipArch.by_name("ViT-B/32")
     l14_336 = ClipArch.by_name("ViT-L/14@336px")
@@ -357,6 +359,23 @@ def test_geometry_auto_defaults():
     assert resolve_use_pallas(True, b32) is True
     assert resolve_use_pallas("off", l14_336) is False
     assert resolve_use_pallas(False, l14_336) is False
+
+    # memory-envelope branch: with batch/frames/params supplied, auto
+    # picks the kernel for the measured stretch recipe (B/16 f30 b8
+    # OOMs on the XLA path) but keeps XLA where it is best-known
+    # (B/16 f30 b4, flagship b32)
+    from hmmc_tpu.config import approx_vit_param_count
+
+    b16_arch = ClipArch.by_name("ViT-B/16")
+    pc16 = approx_vit_param_count(b16_arch)
+    pc32 = approx_vit_param_count(b32)
+    assert 140e6 < pc32 < 185e6  # ~151M actual
+    assert resolve_use_pallas("auto", b16_arch, batch_per_chip=8,
+                              frames=30, param_count=pc16) is True
+    assert resolve_use_pallas("auto", b16_arch, batch_per_chip=4,
+                              frames=30, param_count=pc16) is False
+    assert resolve_use_pallas("auto", b32, batch_per_chip=32,
+                              frames=12, param_count=pc32) is False
 
     # CLI surface: default auto; bare flag forces on; explicit off
     base = ["--do_eval", "--data_dir", "d", "--output_dir", "o"]

@@ -110,11 +110,11 @@ def main():
     p.add_argument("--attention", choices=["xla", "pallas", "both", "auto"],
                    default="xla",
                    help="which attention path(s) to bench — 'both' settles "
-                        "the Pallas on/off question per geometry "
-                        "(VERDICT r3 #1: ViT-L/14@336px, the only shipped "
-                        "geometry above the kernel's L>=512 crossover); "
-                        "'auto' benches what config.resolve_use_pallas "
-                        "picks for each arch (the shipped default)")
+                        "the Pallas on/off question per geometry (the "
+                        "kernel wins at L>=257: ViT-L/14@224 +12.7%, "
+                        "@336px +27-33%; loses at L<=197); 'auto' benches "
+                        "what config.resolve_use_pallas picks for each "
+                        "(arch, batch) point (the shipped default)")
     p.add_argument("--bf16_state", action="store_true",
                    help="bf16 BertAdam moments; with --attention pallas "
                         "this is the measured recipe that fits "
@@ -133,16 +133,21 @@ def main():
 
         state_dtype = jnp.bfloat16
     for arch_name in args.archs.split(","):
-        if args.attention == "auto":
-            from hmmc_tpu.config import ClipArch, resolve_use_pallas
-
-            attn_variants = (resolve_use_pallas(
-                "auto", ClipArch.by_name(arch_name)),)
-        else:
-            attn_variants = {"xla": (False,), "pallas": (True,),
-                             "both": (False, True)}[args.attention]
+        attn_variants = {"xla": (False,), "pallas": (True,),
+                         "both": (False, True),
+                         "auto": (None,)}[args.attention]
         results = []
         for b in [int(x) for x in args.batches.split(",")]:
+            if args.attention == "auto":
+                from hmmc_tpu.config import (ClipArch,
+                                             approx_vit_param_count,
+                                             resolve_use_pallas)
+
+                a = ClipArch.by_name(arch_name)
+                attn_variants = (resolve_use_pallas(
+                    "auto", a, batch_per_chip=b, frames=args.frames,
+                    param_count=0 if a.is_resnet
+                    else approx_vit_param_count(a)),)
             for use_pallas in attn_variants:
                 tag = f"{arch_name}_b{b}"
                 if args.attention == "auto":
