@@ -34,6 +34,10 @@ def main():
                    help="comma list of filter_layer:keep")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--windows", type=int, default=2)
+    p.add_argument("--attention", choices=["xla", "pallas"], default="xla",
+                   help="tower attention path for the FULL variant (the "
+                        "shipped default resolves per geometry — "
+                        "config.resolve_use_pallas; measure both here)")
     args = p.parse_args()
 
     import jax
@@ -48,7 +52,8 @@ def main():
     bench._enable_cache()
     arch = ClipArch.by_name(args.arch)
     cross = CrossConfig()
-    model = BirdModel(arch, cross, dtype=jnp.bfloat16)
+    model = BirdModel(arch, cross, dtype=jnp.bfloat16,
+                      use_pallas=args.attention == "pallas")
     res = arch.image_resolution
 
     rng = np.random.default_rng(0)
@@ -90,8 +95,8 @@ def main():
     base_cps = timed(full)
     n_tokens = arch.grid_size ** 2 + 1
     print(json.dumps({
-        "arch": args.arch, "variant": "full", "block": args.block,
-        "frames": args.frames, "tokens": n_tokens,
+        "arch": args.arch, "variant": f"full_{args.attention}",
+        "block": args.block, "frames": args.frames, "tokens": n_tokens,
         "clips_per_sec": round(base_cps, 1)}), flush=True)
 
     for point in args.points.split(","):
