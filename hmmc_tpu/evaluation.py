@@ -170,7 +170,8 @@ class Evaluator:
                 return token_filter.encode_video_filtered(
                     variables, video, model.arch, model.cross_config,
                     model.use_temp, task.token_filter_layer, tf_keep,
-                    dtype=model.dtype)
+                    dtype=model.dtype,
+                    use_pallas=getattr(model, "use_pallas", False))
         else:
             def encode_video(variables, video_u8):
                 video = image_ops.normalize(image_ops.to_float(video_u8))

@@ -64,7 +64,8 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 def block_forward(x: jnp.ndarray, p, num_heads: int,
                   mask: Optional[jnp.ndarray] = None,
-                  return_weights: bool = False):
+                  return_weights: bool = False,
+                  use_pallas: bool = False):
     """One pre-LN residual attention block as a PURE function over a
     per-layer parameter dict ``p`` with the module tree's layout
     ({ln_1,ln_2}{scale,bias}, attn{in_proj_kernel,in_proj_bias,out_kernel,
@@ -72,14 +73,18 @@ def block_forward(x: jnp.ndarray, p, num_heads: int,
     implementation behind both the flax :class:`ResidualAttentionBlock`
     (same layer_norm / multi_head_attention / quick_gelu pieces, params
     held by submodules) and the stacked-leaf eval paths
-    (ops.token_filter). Compute dtype follows ``x.dtype``."""
+    (ops.token_filter). Compute dtype follows ``x.dtype``.
+    ``use_pallas`` selects the fused attention kernel; it is ignored for
+    ``return_weights`` calls (the kernel never materializes the
+    probabilities)."""
     dtype = x.dtype
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
     attn = p["attn"]
     out = multi_head_attention(
         h, attn["in_proj_kernel"], attn["in_proj_bias"],
         attn["out_kernel"], attn["out_bias"], num_heads, mask,
-        return_weights=return_weights)
+        return_weights=return_weights,
+        use_pallas=use_pallas and not return_weights and mask is None)
     weights = None
     if return_weights:
         out, weights = out
@@ -96,13 +101,14 @@ def block_forward(x: jnp.ndarray, p, num_heads: int,
 
 def stacked_block_forward(x: jnp.ndarray, stacked, i: int, num_heads: int,
                           mask: Optional[jnp.ndarray] = None,
-                          return_weights: bool = False):
+                          return_weights: bool = False,
+                          use_pallas: bool = False):
     """:func:`block_forward` over the nn.scan-stacked [layers, ...]
     parameter leaves at layer index ``i`` (the Transformer module stacks
     per-layer params along a leading axis; eval-path pure functions index
     that layout directly so checkpoints need no re-layout)."""
     p = jax.tree_util.tree_map(lambda leaf: leaf[i], stacked)
-    return block_forward(x, p, num_heads, mask, return_weights)
+    return block_forward(x, p, num_heads, mask, return_weights, use_pallas)
 
 
 class LayerNorm(nn.Module):

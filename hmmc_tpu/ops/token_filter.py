@@ -57,13 +57,17 @@ def vit_encode_filtered(
     filter_at: int,
     keep: int,
     dtype: Dtype = jnp.float32,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Pooled CLIP-ViT forward ([N, H, W, 3] -> [N, embed_dim] fp32) with
     token filtering after ``filter_at`` blocks (2d-patch towers only).
 
     ``keep`` counts the surviving tokens INCLUDING the CLS token; when it
     covers the whole sequence the output equals models/vit
-    .VisionTransformer exactly (tested)."""
+    .VisionTransformer exactly (tested). ``use_pallas`` routes the
+    non-weight-returning blocks through the fused kernel (numerics agree
+    to test tolerance; the filter layer itself always takes the XLA path
+    since it needs the probabilities)."""
     kernel = vit_params["conv1"]["kernel"]
     patch = kernel.shape[0]
     x = lax.conv_general_dilated(
@@ -89,7 +93,7 @@ def vit_encode_filtered(
             x, weights = _block(x, stacked, i, vision_heads,
                                 return_weights=True)
         else:
-            x = _block(x, stacked, i, vision_heads)
+            x = _block(x, stacked, i, vision_heads, use_pallas=use_pallas)
 
     if weights is not None:
         # CLS-query attention row, head-mean: how much the pooled token
@@ -104,7 +108,7 @@ def vit_encode_filtered(
         x = jnp.take_along_axis(x, idx[..., None], axis=1)
 
     for i in range(filter_at, vision_layers):
-        x = _block(x, stacked, i, vision_heads)
+        x = _block(x, stacked, i, vision_heads, use_pallas=use_pallas)
 
     pooled = _ln(x[:, 0, :], vit_params["ln_post"])
     pooled = pooled @ vit_params["proj"].astype(dtype)
@@ -120,6 +124,7 @@ def encode_video_filtered(
     filter_at: int,
     keep: int,
     dtype: Dtype = jnp.float32,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ``model.encode_video`` (models/visual.VisualEncoder)
     with the per-frame ViT running token-filtered. Returns
@@ -131,7 +136,8 @@ def encode_video_filtered(
     b, f, h, w, c = video.shape
     per_frame = vit_encode_filtered(
         ve["visual"], video.reshape(b * f, h, w, c),
-        arch.vision_layers, arch.vision_heads, filter_at, keep, dtype)
+        arch.vision_layers, arch.vision_heads, filter_at, keep, dtype,
+        use_pallas=use_pallas)
     hidden = per_frame.reshape(b, f, per_frame.shape[-1])
     frame_output = hidden
 
@@ -141,6 +147,8 @@ def encode_video_filtered(
         x = x.astype(dtype)
         stacked = ve["temporal_transformer"]["resblocks"]["block"]
         for i in range(cross_config.temporal_hidden_layers):
+            # the temporal sequence (max_frames) is far below the kernel
+            # crossover; keep XLA here regardless of use_pallas
             x = _block(x, stacked, i, cross_config.temporal_attention_heads)
         hidden = x.astype(jnp.float32) + hidden
 

@@ -206,3 +206,27 @@ def test_evaluator_rejects_non_vit_towers():
     task = TaskConfig(do_eval=True, token_filter_keep=3)
     with pytest.raises(ValueError, match="2d-patch"):
         Evaluator(model, task)
+
+
+def test_filtered_encode_pallas_matches_xla(monkeypatch):
+    """use_pallas routes the non-weight-returning blocks through the
+    fused kernel (interpret mode on CPU); features must match the XLA
+    path to kernel tolerance, filtered and keep-all alike."""
+    import functools
+
+    import hmmc_tpu.ops.pallas_attention as pa
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pa.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    model, params, video = _model_and_params()
+    for keep in (N_TOKENS, 3):
+        ref = token_filter.encode_video_filtered(
+            {"params": params}, video, TINY, TINY_CROSS, True,
+            filter_at=1, keep=keep, dtype=jnp.float32)
+        ours = token_filter.encode_video_filtered(
+            {"params": params}, video, TINY, TINY_CROSS, True,
+            filter_at=1, keep=keep, dtype=jnp.float32, use_pallas=True)
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=1e-4)

@@ -104,7 +104,8 @@ def main():
         fn = jax.jit(lambda p, v, la=layer, ke=keep: (
             token_filter.encode_video_filtered(
                 {"params": p}, v, arch, cross, True, la, ke,
-                dtype=jnp.bfloat16)))
+                dtype=jnp.bfloat16,
+                use_pallas=args.attention == "pallas")))
         cps = timed(fn)
         print(json.dumps({
             "arch": args.arch, "variant": f"filter@{layer}/keep{keep}",
